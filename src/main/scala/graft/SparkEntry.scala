@@ -1,13 +1,251 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{st, tx}
+import graft.ops.{Dedup, Density, Similarity, SpatialJoin}
+import graft.pages.WebPages
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator
+ * (SURVEY.md §2), with DuckDB-runnable oracle SQL for every
+ * SQL-expressible one. The geoparse/region formulas are SQL fragments
+ * shared verbatim with [[graft.pages.WebPages]], so Spark and DuckDB
+ * compute bit-identical coordinates (IEEE-exact ops only).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import WebPages._
+
+  // ---- shared oracle CTEs (DuckDB side of the derivation) ----
+  private val CTE_PAGES =
+    s"pages AS (SELECT doc_id, text, lang, $LON_EXPR AS lon, $LAT_EXPR AS lat FROM documents)"
+  private val CTE_REGIONS =
+    s"regions AS (SELECT s_suppkey AS region_id, $R_XMIN AS xmin, $R_YMIN AS ymin, $R_XMAX AS xmax, $R_YMAX AS ymax FROM supplier)"
+  private val CTE_NBOX =
+    s"nbox AS (SELECT n_nationkey, $N_XMIN AS xmin, $N_YMIN AS ymin, $N_XMAX AS xmax, $N_YMAX AS ymax FROM nation)"
+  private val CTE_CTRS =
+    s"ctrs AS (SELECT n_nationkey, $N_CLON AS clon, $N_CLAT AS clat FROM nation)"
+
+  /** Flagship: point-in-polygon cell-cover join on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_st_contains_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- spatial core (reference J2/J4/S1/P3/P7/A1/A2) ----
+    "q_st_contains_join" -> ((s, dir) => {
+      val polys = regions(s, dir).select("region_id", "region_geom")
+      val pts = pages(s, dir).select("doc_id", "geom")
+      SpatialJoin.containsJoin(polys, "region_geom", pts, "geom")
+        .select("region_id", "doc_id").orderBy("region_id", "doc_id")
+    }),
+    "q_st_intersects_join" -> ((s, dir) => {
+      val nb = nationBoxes(s, dir).select("n_nationkey", "nation_geom")
+      val rg = regions(s, dir).select("region_id", "region_geom")
+      SpatialJoin.intersectsJoin(nb, "nation_geom", rg, "region_geom",
+          keys = Seq("n_nationkey", "region_id"))
+        .select("n_nationkey", "region_id").orderBy("n_nationkey", "region_id")
+    }),
+    "q_st_dwithin_join" -> ((s, dir) => {
+      val ctrs = nationCenters(s, dir).select("n_nationkey", "clon", "clat")
+      val pts = pages(s, dir).select("doc_id", "lon", "lat")
+      SpatialJoin.dwithinDegJoin(ctrs, "clon", "clat", pts, "lon", "lat", 2.0)
+        .select("n_nationkey", "doc_id").orderBy("n_nationkey", "doc_id")
+    }),
+    "q_knn" -> ((s, dir) => {
+      val ctrs = nationCenters(s, dir).select("n_nationkey", "clon", "clat")
+      val pts = pages(s, dir).select("doc_id", "lon", "lat")
+      SpatialJoin.knnPlanar(ctrs, "clon", "clat", pts, "lon", "lat", "doc_id", 5)
+        .select("n_nationkey", "doc_id", "rank").orderBy("n_nationkey", "rank")
+    }),
+    "q_bbox_filter" -> ((s, dir) => {
+      val box = st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0))
+      pages(s, dir).filter(st.contains(box, col("geom")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_density_grid" -> ((s, dir) => {
+      Density.grid(pages(s, dir), col("lon"), col("lat"),
+          -180.0, -85.0, 180.0, 85.0, 64, 32)
+        .orderBy("cell_x", "cell_y")
+    }),
+    "q_temporal_density" -> ((s, dir) => {
+      Density.temporal(s.read.parquet(s"$dir/events.parquet"), col("ts"), "hour")
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"), col("n"))
+        .orderBy("bucket_str")
+    }),
+    "q_temporal_filter" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    // ---- relational parity anchors (reference A4/A5/W1/W2/J1) ----
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_join_agg" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_topk_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rn")
+        .orderBy("o_orderpriority", "rn")
+    }),
+    "q_unique_langs" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+    }),
+    "q_props_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_type", "CAST(substr(props, 7, length(props) - 7) AS BIGINT) AS k")
+        .groupBy("event_type").agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    "q_transform_select" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("n_chars") > 200)
+        .select(col("doc_id"), upper(col("lang")).as("lang_u"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // ---- training-data pipeline ops ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"),
+          col("text").cast("binary"), col("doc_id"))
+        .orderBy("text_hash")
+    }),
+    "q_text_stats" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet").selectExpr(
+        "doc_id",
+        "CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_words",
+        "CAST(length(text) AS BIGINT) AS n_chars_m")
+        .orderBy("doc_id")
+    }),
+    // ---- rows-only (no exact SQL analog; verified by ScalaTest oracles) ----
+    "q_lang_guess" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"), tx.langGuess(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n")).orderBy("lang", "predicted")
+    }),
+    "q_quality_tokens" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), tx.qualityScore(col("text")).as("quality"),
+          tx.tokenCount(col("text")).as("n_tokens"),
+          tx.fingerprint(col("text"), lit(16)).as("fp"),
+          tx.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+    }),
+    "q_ann_cosine" -> ((s, dir) => {
+      Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "embedding", "vec_id", annQueryVec, 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "embedding", "vec_id", annQueryVec, 10, bits = 4)
+    }),
+    "q_cell_cover" -> ((s, dir) => {
+      pages(s, dir)
+        .select(col("doc_id"), explode(st.cellCover(col("geom"), lit(8))).as("cell"))
+        .orderBy("doc_id", "cell")
+    })
+  )
+
+  /** Deterministic 64-dim query vector for the ANN queries. */
+  val annQueryVec: Array[Float] = Array.tabulate(64)(i => ((i * 37 % 19) - 9) / 10.0f)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_st_contains_join" ->
+      s"""WITH $CTE_PAGES, $CTE_REGIONS
+         |SELECT r.region_id, p.doc_id FROM pages p JOIN regions r
+         |ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax
+         |ORDER BY r.region_id, p.doc_id""".stripMargin,
+    "q_st_intersects_join" ->
+      s"""WITH $CTE_NBOX, $CTE_REGIONS
+         |SELECT n.n_nationkey, r.region_id FROM nbox n JOIN regions r
+         |ON NOT (n.xmax < r.xmin OR r.xmax < n.xmin OR n.ymax < r.ymin OR r.ymax < n.ymin)
+         |ORDER BY n.n_nationkey, r.region_id""".stripMargin,
+    "q_st_dwithin_join" ->
+      s"""WITH $CTE_PAGES, $CTE_CTRS
+         |SELECT c.n_nationkey, p.doc_id FROM pages p JOIN ctrs c
+         |ON (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat) < 4e0
+         |ORDER BY c.n_nationkey, p.doc_id""".stripMargin,
+    "q_knn" ->
+      s"""WITH $CTE_PAGES, $CTE_CTRS,
+         |d AS (SELECT c.n_nationkey, p.doc_id,
+         |  (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat) AS dist2
+         |  FROM ctrs c CROSS JOIN pages p)
+         |SELECT n_nationkey, doc_id, rank FROM (
+         |  SELECT n_nationkey, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY dist2 ASC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM d) WHERE rank <= 5
+         |ORDER BY n_nationkey, rank""".stripMargin,
+    "q_bbox_filter" ->
+      s"""WITH $CTE_PAGES
+         |SELECT doc_id FROM pages
+         |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0
+         |ORDER BY doc_id""".stripMargin,
+    "q_density_grid" ->
+      s"""WITH $CTE_PAGES
+         |SELECT CAST(FLOOR((lon - (-180e0)) / 360e0 * 64) AS BIGINT) AS cell_x,
+         |       CAST(FLOOR((lat - (-85e0)) / 170e0 * 32) AS BIGINT) AS cell_y,
+         |       COUNT(*) AS n
+         |FROM pages
+         |WHERE lon >= -180e0 AND lon < 180e0 AND lat >= -85e0 AND lat < 85e0
+         |GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
+    "q_temporal_density" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_str, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket_str""".stripMargin,
+    "q_temporal_filter" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_topk_window" ->
+      """SELECT o_orderpriority, o_orderkey, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_unique_langs" ->
+      "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "q_props_agg" ->
+      """SELECT event_type, CAST(SUM(CAST(substr(props, 7, length(props) - 7) AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_transform_select" ->
+      """SELECT doc_id, upper(lang) AS lang_u, n_chars FROM documents
+        |WHERE n_chars > 200 ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_words,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

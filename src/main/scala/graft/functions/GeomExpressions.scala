@@ -1,0 +1,346 @@
+package graft.functions
+
+import graft.index.Z2
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * ST_* spatial expressions over WKB BinaryType columns. All are codegen'd:
+ * doGenCode emits a single static call into [[GeomRT]], so spatial
+ * predicates stay inside whole-stage codegen (SURVEY.md §4.3 — the
+ * reference's hand-rolled dispatch-table "codegen" maps to real codegen
+ * here). Capability parity: reference CQL predicate whitelist
+ * geomesa-core/.../filter/package.scala:248-259.
+ */
+object RT { val C = "graft.functions.GeomRT" }
+
+/** geom × geom → boolean, first argument prepared+cached. */
+abstract class GeomPredicate(fn: String) extends BinaryExpression with Serializable {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    evalBytes(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${RT.C}.$fn($a, $b)")
+}
+
+case class StContains(left: Expression, right: Expression) extends GeomPredicate("contains") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.contains(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StIntersects(left: Expression, right: Expression) extends GeomPredicate("intersects") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.intersects(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StWithin(left: Expression, right: Expression) extends GeomPredicate("within") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.within(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCovers(left: Expression, right: Expression) extends GeomPredicate("covers") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.covers(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StOverlaps(left: Expression, right: Expression) extends GeomPredicate("overlaps") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.overlaps(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCrosses(left: Expression, right: Expression) extends GeomPredicate("crosses") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.crosses(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StTouches(left: Expression, right: Expression) extends GeomPredicate("touches") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.touches(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDisjoint(left: Expression, right: Expression) extends GeomPredicate("disjoint") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.disjoint(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StEquals(left: Expression, right: Expression) extends GeomPredicate("equalsGeom") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Boolean = GeomRT.equalsGeom(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** geom × geom × double → boolean. */
+abstract class GeomDistPredicate(fn: String) extends TernaryExpression with Serializable {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    evalBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
+  protected def evalBytes(a: Array[Byte], b: Array[Byte], d: Double): Boolean
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, d) => s"${RT.C}.$fn($a, $b, $d)")
+}
+
+/** Reference st_dwithin: distance in meters, rewritten to a local degree
+ *  buffer (FilterHelper.scala:111-123). */
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends GeomDistPredicate("dwithinMeters") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte], d: Double): Boolean = GeomRT.dwithinMeters(a, b, d)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+/** Planar degree-space within-distance (exact IEEE arithmetic — used by
+ *  oracle-parity queries). */
+case class StDWithinDeg(first: Expression, second: Expression, third: Expression)
+    extends GeomDistPredicate("dwithinDeg") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte], d: Double): Boolean = GeomRT.dwithinDeg(a, b, d)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** geom × geom → double. */
+abstract class GeomBinaryDouble(fn: String) extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    evalBytes(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Double
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${RT.C}.$fn($a, $b)")
+}
+case class StDistance(left: Expression, right: Expression) extends GeomBinaryDouble("distance") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Double = GeomRT.distance(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDistanceSphere(left: Expression, right: Expression) extends GeomBinaryDouble("distanceSphere") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Double = GeomRT.distanceSphere(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDistanceSpheroid(left: Expression, right: Expression) extends GeomBinaryDouble("distanceSpheroid") {
+  protected def evalBytes(a: Array[Byte], b: Array[Byte]): Double = GeomRT.distanceSpheroid(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** geom → double. */
+abstract class GeomUnaryDouble(fn: String) extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = evalBytes(v.asInstanceOf[Array[Byte]])
+  protected def evalBytes(b: Array[Byte]): Double
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${RT.C}.$fn($c)")
+}
+case class StX(child: Expression) extends GeomUnaryDouble("x") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.x(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StY(child: Expression) extends GeomUnaryDouble("y") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.y(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StXMin(child: Expression) extends GeomUnaryDouble("xmin") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.xmin(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMin(child: Expression) extends GeomUnaryDouble("ymin") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.ymin(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StXMax(child: Expression) extends GeomUnaryDouble("xmax") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.xmax(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMax(child: Expression) extends GeomUnaryDouble("ymax") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.ymax(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StArea(child: Expression) extends GeomUnaryDouble("area") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.area(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLengthGeom(child: Expression) extends GeomUnaryDouble("length") {
+  protected def evalBytes(b: Array[Byte]): Double = GeomRT.length(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** geom → geom. */
+abstract class GeomUnaryGeom(fn: String) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = evalBytes(v.asInstanceOf[Array[Byte]])
+  protected def evalBytes(b: Array[Byte]): Array[Byte]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${RT.C}.$fn($c)")
+}
+case class StCentroid(child: Expression) extends GeomUnaryGeom("centroid") {
+  protected def evalBytes(b: Array[Byte]): Array[Byte] = GeomRT.centroid(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StEnvelope(child: Expression) extends GeomUnaryGeom("envelope") {
+  protected def evalBytes(b: Array[Byte]): Array[Byte] = GeomRT.envelope(b)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StBuffer(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any, d: Any): Any =
+    GeomRT.buffer(g.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, d) => s"${RT.C}.buffer($g, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StSimplify(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any, d: Any): Any =
+    GeomRT.simplify(g.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, d) => s"${RT.C}.simplify($g, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StUnion(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomRT.union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${RT.C}.union($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StPoint(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    GeomRT.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${RT.C}.point($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StMakeBox(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.size == 4, "st_makebox(xmin, ymin, xmax, ymax)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeomRT.makeBox(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+case class StGeomFromWKT(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GeomRT.fromWkt(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${RT.C}.fromWkt($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsText(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(GeomRT.asText(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.unsafe.types.UTF8String.fromString(${RT.C}.asText($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeometryType(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(GeomRT.geometryType(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.unsafe.types.UTF8String.fromString(${RT.C}.geometryType($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// ---- cell index expressions ----
+
+/** cell_of(geom, res) → packed Z2 cell id (Long). */
+case class CellOf(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    GeomRT.cellOf(g.asInstanceOf[Array[Byte]], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) => s"${RT.C}.cellOf($g, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** z2_encode(lon, lat, res) → packed Z2 cell id — pure bit math, fully
+ *  codegen'd (reference bit-interleave: GeoHash.scala:149-160). */
+case class Z2Encode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(lon: Any, lat: Any, r: Any): Any =
+    Z2.encode(lon.asInstanceOf[Double], lat.asInstanceOf[Double], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, r) => s"graft.index.Z2.encode($lon, $lat, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** cell_cover(geom, res) → array<long> of intersecting cells. */
+case class CellCover(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    new GenericArrayData(GeomRT.cover(g.asInstanceOf[Array[Byte]], r.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${RT.C}.cover($g, $r))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** cell_cover_budget(geom, budget, levels) — adaptive-resolution cover. */
+case class CellCoverBudget(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any, budget: Any, levels: Any): Any = {
+    val lv = levels.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    new GenericArrayData(GeomRT.coverBudget(g.asInstanceOf[Array[Byte]], budget.asInstanceOf[Int], lv))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, b, lv) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${RT.C}.coverBudget($g, $b, $lv.toIntArray()))")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** cell_parent(cell, res) → ancestor id at coarser resolution. */
+case class CellParent(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    Z2.parent(c.asInstanceOf[Long], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) => s"graft.index.Z2.parent($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** cell_box(cell) → WKB box of the cell's bounds. */
+case class CellBox(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any = GeomRT.cellBox(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${RT.C}.cellBox($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** cell_neighbors(cell) → array<long> of the ≤8 touching cells. */
+case class CellNeighbors(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any =
+    new GenericArrayData(Z2.neighbors(c.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.index.Z2.neighbors($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

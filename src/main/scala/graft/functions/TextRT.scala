@@ -1,0 +1,213 @@
+package graft.functions
+
+/**
+ * Text-analysis kernels for web-scale training-data pipelines: MinHash
+ * signatures, SimHash, rolling-hash fingerprints, n-gram language guess,
+ * quality scoring. Pure static functions over String so the corresponding
+ * Catalyst expressions stay codegen-friendly. All hashing is FNV-1a /
+ * splitmix64 (public-domain constants) — deterministic across JVMs.
+ */
+object TextRT {
+
+  @inline def fnv1a64(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  @inline def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  /** MinHash signature over word shingles: sig(i) = min over shingles of
+   *  mix64(fnv1a(shingle) + i*GOLDEN). One pass over the text. */
+  def minHash(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val ts = tokens(text)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (ts.length >= shingleSize) {
+      var i = 0
+      while (i <= ts.length - shingleSize) {
+        var base = 0xcbf29ce484222325L
+        var j = 0
+        while (j < shingleSize) {
+          val w = ts(i + j)
+          var k = 0
+          while (k < w.length) { base ^= w.charAt(k).toLong; base *= 0x100000001b3L; k += 1 }
+          base ^= ' '.toLong; base *= 0x100000001b3L
+          j += 1
+        }
+        var h = 0
+        while (h < numHashes) {
+          val v = mix64(base + h * 0x9e3779b97f4a7c15L)
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys from a MinHash signature: bands of `rowsPerBand` hashes
+   *  folded to one long each; docs sharing any band key are candidates. */
+  def lshBands(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
+    val nBands = sig.length / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rowsPerBand) { h ^= sig(b * rowsPerBand + r); h *= 0x100000001b3L; r += 1 }
+      out(b) = (h & 0x7fffffffffffffffL) | (b.toLong << 56) // band id in high bits
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over tokens. */
+  def simHash(text: String): Long = {
+    val counts = new Array[Int](64)
+    val ts = tokens(text)
+    var i = 0
+    while (i < ts.length) {
+      val h = mix64(fnv1a64(ts(i), 0L))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Rolling-hash document fingerprint: min over Rabin-style hashes of
+   *  consecutive non-overlapping char windows (winnowing-flavored;
+   *  deterministic). */
+  def fingerprint(text: String, window: Int): Long = {
+    if (text.isEmpty) return 0L
+    var minH = Long.MaxValue
+    var h = 0L
+    var fill = 0
+    var i = 0
+    while (i < text.length) {
+      h = h * 257L + text.charAt(i).toLong
+      fill += 1
+      if (fill == window) {
+        val m = mix64(h)
+        if (m < minH) minH = m
+        h = 0L; fill = 0
+      }
+      i += 1
+    }
+    if (fill > 0) { val m = mix64(h); if (m < minH) minH = m }
+    minH
+  }
+
+  /** Jaccard similarity of word n-gram sets (exact verification step after
+   *  LSH candidate generation). */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    def grams(s: String): java.util.HashSet[Long] = {
+      val ts = tokens(s)
+      val set = new java.util.HashSet[Long]()
+      var i = 0
+      while (i <= ts.length - n) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < n) {
+          val w = ts(i + j); var k = 0
+          while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+          h ^= ' '.toLong; h *= 0x100000001b3L
+          j += 1
+        }
+        set.add(h)
+        i += 1
+      }
+      set
+    }
+    val ga = grams(a); val gb = grams(b)
+    if (ga.isEmpty && gb.isEmpty) return 1.0
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    inter.toDouble / (ga.size + gb.size - inter).toDouble
+  }
+
+  private val stopwords: Map[String, Array[String]] = Map(
+    "en" -> Array(" the ", " and ", " of ", " to ", " in ", " is ", " that ", " it ", " with ", " for "),
+    "de" -> Array(" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein ", " mit ", " auf ", " von "),
+    "fr" -> Array(" le ", " la ", " les ", " et ", " est ", " des ", " une ", " dans ", " que ", " pour "),
+    "es" -> Array(" el ", " la ", " los ", " y ", " es ", " en ", " que ", " una ", " por ", " con "))
+
+  /** Stopword-profile language guess over {en,de,fr,es} (n-gram heuristic;
+   *  ties broken by fixed language order). */
+  def langGuess(text: String): String = {
+    val t = " " + text.toLowerCase + " "
+    var best = "en"; var bestScore = -1
+    for (lang <- Array("en", "de", "fr", "es")) {
+      var score = 0
+      val words = stopwords(lang)
+      var i = 0
+      while (i < words.length) {
+        var idx = t.indexOf(words(i))
+        while (idx >= 0) { score += 1; idx = t.indexOf(words(i), idx + 1) }
+        i += 1
+      }
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    best
+  }
+
+  /** Heuristic quality score in [0,1]: length, alpha ratio, mean word
+   *  length sanity — the usual web-text filters. */
+  def qualityScore(text: String): Double = {
+    if (text.isEmpty) return 0.0
+    val len = text.length
+    var alpha = 0; var spaces = 0
+    var i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) alpha += 1
+      else if (c == ' ') spaces += 1
+      i += 1
+    }
+    val alphaRatio = alpha.toDouble / len
+    val words = spaces + 1
+    val meanWordLen = (len - spaces).toDouble / words
+    val lenScore = math.min(1.0, len / 500.0)
+    val wordLenScore = if (meanWordLen >= 3.0 && meanWordLen <= 12.0) 1.0 else 0.3
+    0.4 * alphaRatio + 0.3 * lenScore + 0.3 * wordLenScore
+  }
+
+  /** BPE-ish token count: words + digit runs + punctuation marks. */
+  def tokenCount(text: String): Int = {
+    var count = 0
+    var inWord = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val isW = Character.isLetterOrDigit(c)
+      if (isW && !inWord) count += 1
+      else if (!isW && !Character.isWhitespace(c)) count += 1
+      inWord = isW
+      i += 1
+    }
+    count
+  }
+}

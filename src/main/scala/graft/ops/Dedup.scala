@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.functions.tx
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for web-scale text corpora. Exact dedup is a
+ * hash group-by; near-dup is shingle→MinHash→LSH-band→bucket-join→exact
+ * Jaccard verify — all shuffle-on-key plans that scale horizontally (the
+ * candidate join keys are the LSH buckets, never a cross join).
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (text_hash, keeper_id, n). */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("text_hash"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n"))
+
+  /** Rows surviving exact dedup (keep min-id row per distinct text). */
+  def exactSurvivors(df: DataFrame, textName: String, idName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textName))).orderBy(col(idName).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * MinHash+LSH near-duplicate candidate pairs, verified by exact n-gram
+   * Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
+   * jaccard >= threshold. numHashes=32, 8 bands x 4 rows targets ~0.6+
+   * similarity candidates.
+   */
+  def minhashPairs(df: DataFrame, textName: String, idName: String,
+                   numHashes: Int = 32, rowsPerBand: Int = 4, shingle: Int = 3,
+                   threshold: Double = 0.6): DataFrame = {
+    val sig = df.select(col(idName).as("id"), col(textName).as("text"))
+      .withColumn("__bands", tx.lshBands(
+        tx.minhash(col("text"), lit(numHashes), lit(shingle)), lit(rowsPerBand)))
+      .withColumn("band", explode(col("__bands")))
+      .select(col("id"), col("text"), col("band"))
+    val a = sig.select(col("band"), col("id").as("id_a"), col("text").as("text_a"))
+    val b = sig.select(col("band"), col("id").as("id_b"), col("text").as("text_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: bucket on rotated 16-bit blocks (any pair
+   *  within hamming distance <= maxHamming shares at least one of the 4
+   *  blocks by pigeonhole), verify hamming. */
+  def simhashPairs(df: DataFrame, textName: String, idName: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idName).as("id"), tx.simhash(col(textName)).as("sig"))
+    val blocks = (0 until 4).map { b =>
+      withSig.select(col("id"), col("sig"),
+        concat(lit(b.toString), lit(":"),
+          (shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))).cast("string")).as("block"))
+    }.reduce(_ union _)
+    val l = blocks.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = blocks.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.pages
+
+import graft.functions.st
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The engine's primary input: a Common-Crawl-style web-page table
+ * (url, warc_ts, html, text, lang) per BASELINE.json input_hint, derived
+ * deterministically from the driver's `documents` table, plus a synthetic
+ * `regions` polygon table (join right-hand side, FIXTURES.md F2).
+ *
+ * Geoparsing (text → lon/lat) is a *pure projection* keyed on doc_id: the
+ * `text` column is passed through untouched (byte-identical-text-per-url
+ * invariant). The lon/lat formulas are SQL fragments shared verbatim
+ * between Spark (`selectExpr`) and the DuckDB oracle; they use only
+ * IEEE-754-exact operations (int64 *, +, %, double / by a constant, CASE),
+ * so both engines produce bit-identical coordinates.
+ *
+ * Spatial skew is deliberate (SURVEY.md §7.4): ~30% of pages land in three
+ * 2°x2° "city" hot spots; the rest are uniform over the world. Coordinates
+ * have 1/1000-degree granularity while region edges sit on a +0.0005 degree
+ * half-step, so no point ever lies exactly on a region boundary (removes
+ * open/closed-boundary ambiguity between JTS predicates and SQL ranges).
+ */
+object WebPages {
+
+  // hash mixers (LCG constants; values fit int64 for doc_id < 8e9)
+  val H1 = "((doc_id * 1103515245 + 12345) % 2147483648)"
+  val H2 = "((doc_id * 69069 + 1234567) % 2147483648)"
+  val H3 = "((doc_id * 40692 + 777) % 2147483648)"
+
+  // All double literals below use exponent notation (e.g. 1e3, 5e-4):
+  // plain `1000.0` parses as DECIMAL in both Spark SQL and DuckDB, whose
+  // precision rules differ; `1e3` is DOUBLE in both → bit-identical math.
+
+  /** lon ∈ [-180, 180): 3 hot clusters (30%) + uniform world (70%). */
+  val LON_EXPR: String =
+    s"""CASE ($H1 % 10)
+       | WHEN 0 THEN -75e0 + (($H2 % 2000) / 1e3)
+       | WHEN 1 THEN 135e-2 + (($H2 % 2000) / 1e3)
+       | WHEN 2 THEN 1387e-1 + (($H2 % 2000) / 1e3)
+       | ELSE (($H2 % 360000) / 1e3) - 180e0
+       |END""".stripMargin.replace("\n", " ")
+
+  /** lat ∈ [-85, 85): clusters at NYC/Paris/Tokyo latitudes. */
+  val LAT_EXPR: String =
+    s"""CASE ($H1 % 10)
+       | WHEN 0 THEN 397e-1 + (($H3 % 2000) / 1e3)
+       | WHEN 1 THEN 4785e-2 + (($H3 % 2000) / 1e3)
+       | WHEN 2 THEN 347e-1 + (($H3 % 2000) / 1e3)
+       | ELSE (($H3 % 170000) / 1e3) - 85e0
+       |END""".stripMargin.replace("\n", " ")
+
+  /** Pages with geoparsed lon/lat + WKB point geometry. */
+  def pages(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = docs.selectExpr(
+      "doc_id", "text", "lang",
+      s"$LON_EXPR AS lon",
+      s"$LAT_EXPR AS lat")
+    base
+      .withColumn("url", concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
+        lit(".example/"), col("doc_id").cast("string")))
+      .withColumn("warc_ts", expr("timestamp'2011-06-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id % 2592000)"))
+      .withColumn("html", concat(lit("<html><body>"), col("text"), lit("</body></html>")).cast("binary"))
+      .withColumn("geom", st.point(col("lon"), col("lat")))
+  }
+  // $"..." sugar needs an implicits import at call sites; use col() here:
+  private def $(name: String) = col(name)
+
+  // ---- regions (join RHS): boxes derived from the supplier table ----
+  val RH1 = "((s_suppkey * 48271 + 11) % 2147483648)"
+  val RH2 = "((s_suppkey * 16807 + 7) % 2147483648)"
+  val RH3 = "((s_suppkey * 65539 + 3) % 2147483648)"
+  val R_XMIN = s"((($RH1 % 340000) / 1e3) - 180e0 + 5e-4)"
+  val R_YMIN = s"((($RH3 % 150000) / 1e3) - 85e0 + 5e-4)"
+  val R_W = s"((($RH2 % 20000) / 1e3) + 5e-1)"
+  val R_H = s"((($RH2 % 10000) / 1e3) + 5e-1)"
+  val R_XMAX = s"($R_XMIN + $R_W)"
+  val R_YMAX = s"($R_YMIN + $R_H)"
+
+  /** Region boxes (FIXTURES.md F2) with WKB geometry. */
+  def regions(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/supplier.parquet").selectExpr(
+      "s_suppkey AS region_id",
+      s"$R_XMIN AS xmin", s"$R_YMIN AS ymin", s"$R_XMAX AS xmax", s"$R_YMAX AS ymax")
+      .withColumn("region_geom", st.makeBox($("xmin"), $("ymin"), $("xmax"), $("ymax")))
+
+  // ---- nation-derived fixtures: 25 boxes / centers (small build side) ----
+  val NH1 = "((n_nationkey * 48271 + 101) % 2147483648)"
+  val NH2 = "((n_nationkey * 16807 + 53) % 2147483648)"
+  val N_XMIN = s"((($NH1 % 300000) / 1e3) - 160e0 + 5e-4)"
+  val N_YMIN = s"((($NH2 % 130000) / 1e3) - 75e0 + 5e-4)"
+  val N_XMAX = s"($N_XMIN + ((($NH2 % 30000) / 1e3) + 1e0))"
+  val N_YMAX = s"($N_YMIN + ((($NH1 % 16000) / 1e3) + 1e0))"
+  val N_CLON = s"((($NH1 % 360000) / 1e3) - 180e0)"
+  val N_CLAT = s"((($NH2 % 160000) / 1e3) - 80e0)"
+
+  def nationBoxes(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/nation.parquet").selectExpr(
+      "n_nationkey",
+      s"$N_XMIN AS xmin", s"$N_YMIN AS ymin", s"$N_XMAX AS xmax", s"$N_YMAX AS ymax")
+      .withColumn("nation_geom", st.makeBox($("xmin"), $("ymin"), $("xmax"), $("ymax")))
+
+  def nationCenters(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/nation.parquet").selectExpr(
+      "n_nationkey", s"$N_CLON AS clon", s"$N_CLAT AS clat")
+      .withColumn("center_geom", st.point($("clon"), $("clat")))
+}
