@@ -215,18 +215,23 @@ case class StPoint(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-case class StMakeBox(children: Seq[Expression]) extends Expression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  require(children.size == 4, "st_makebox(xmin, ymin, xmax, ymax)")
+case class StMakeBox(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with Serializable {
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = children.exists(_.nullable)
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.contains(null)) null
-    else GeomRT.makeBox(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
-      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeomRT.makeBox(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"${RT.C}.makeBox($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(a, b, c, d)
+}
+object StMakeBox {
+  def apply(es: Seq[Expression]): StMakeBox = {
+    require(es.size == 4, "st_makebox(xmin, ymin, xmax, ymax)")
+    StMakeBox(es(0), es(1), es(2), es(3))
   }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
 
 case class StGeomFromWKT(child: Expression) extends UnaryExpression with Serializable {
