@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{st, tx}
-import graft.ops.{Dedup, Density, Similarity, SpatialJoin}
+import graft.ops.{Dedup, Density, Similarity, SpatialJoin, SpatioTemporal}
 import graft.pages.WebPages
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,7 +18,9 @@ object SparkEntry {
 
   // ---- shared oracle CTEs (DuckDB side of the derivation) ----
   private val CTE_PAGES =
-    s"pages AS (SELECT doc_id, text, lang, $LON_EXPR AS lon, $LAT_EXPR AS lat FROM documents)"
+    s"pages AS (SELECT doc_id, text, lang, $LON_EXPR AS lon, $LAT_EXPR AS lat, $SEC_EXPR AS sec FROM documents)"
+  private val CTE_TRACK =
+    s"track AS (SELECT event_id % 5 AS tid, $T_LON AS t_lon, $T_LAT AS t_lat, $T_SEC AS t_sec FROM events)"
   private val CTE_REGIONS =
     s"regions AS (SELECT s_suppkey AS region_id, $R_XMIN AS xmin, $R_YMIN AS ymin, $R_XMAX AS xmax, $R_YMAX AS ymax FROM supplier)"
   private val CTE_NBOX =
@@ -166,6 +168,65 @@ object SparkEntry {
       pages(s, dir)
         .select(col("doc_id"), explode(st.cellCover(col("geom"), lit(8))).as("cell"))
         .orderBy("doc_id", "cell")
+    }),
+    // ---- spatio-temporal / extents (reference J3/J2/A3/A8/U1) ----
+    "q_tube_select" -> ((s, dir) => {
+      SpatioTemporal.tubeSelect(
+          track(s, dir), "tid", "t_lon", "t_lat", "t_sec",
+          pages(s, dir).select("doc_id", "lon", "lat", "sec"),
+          "doc_id", "lon", "lat", "sec",
+          bufferDeg = 2.0, tolSec = 172800L)
+        .orderBy("tid", "doc_id")
+    }),
+    "q_xz_intersects_join" -> ((s, dir) => {
+      val nb = nationBoxes(s, dir).select("n_nationkey", "nation_geom")
+      val rg = regions(s, dir).select("region_id", "region_geom")
+      SpatioTemporal.xzIntersectsJoin(nb, "nation_geom", rg, "region_geom")
+        .select("n_nationkey", "region_id").orderBy("n_nationkey", "region_id")
+    }),
+    "q_map_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(explode(map(col("event_type"), lit(1L))).as(Seq("key", "v")))
+        .groupBy("key").agg(sum("v").as("total")).orderBy("key")
+    }),
+    "q_surface_tile" -> ((s, dir) => {
+      Density.surface(pages(s, dir), col("lon"), col("lat"),
+          length(col("text")).cast("long"), -180.0, -85.0, 180.0, 85.0, 32, 16)
+        .orderBy("cell_x", "cell_y")
+    }),
+    "q_union_dedup" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val a = p.filter(st.contains(st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0)), col("geom")))
+      val b = p.filter(st.contains(st.makeBox(lit(-76.0), lit(30.0), lit(-66.0), lit(42.0)), col("geom")))
+      a.select("doc_id").union(b.select("doc_id"))
+        .dropDuplicates("doc_id").orderBy("doc_id")
+    }),
+    "q_histogram_grouped" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "source")
+    }),
+    "q_z3_temporal_bins" -> ((s, dir) => {
+      pages(s, dir)
+        .filter(st.contains(st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0)), col("geom")))
+        .groupBy(st.timeBin(col("sec"), lit(86400L)).as("bin"))
+        .agg(count(lit(1)).as("n")).orderBy("bin")
+    }),
+    // ---- rows-only (float refine / geodesic — ScalaTest-verified) ----
+    "q_proximity_meters" -> ((s, dir) => {
+      SpatioTemporal.proximityJoin(
+          nationCenters(s, dir).select("n_nationkey", "clon", "clat"), "clon", "clat",
+          pages(s, dir).select("doc_id", "lon", "lat"), "lon", "lat", 250000.0)
+        .select("n_nationkey", "doc_id").orderBy("n_nationkey", "doc_id")
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+          "embedding", "vec_id", threshold = 0.85, bits = 4, dim = 64)
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        "embedding", "vec_id", annQueryVec, 10)
     })
   )
 
@@ -246,6 +307,43 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_words,
         |  CAST(length(text) AS BIGINT) AS n_chars_m
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tube_select" ->
+      s"""WITH $CTE_PAGES, $CTE_TRACK
+         |SELECT DISTINCT t.tid, p.doc_id FROM track t JOIN pages p
+         |ON (p.lon - t.t_lon) * (p.lon - t.t_lon) + (p.lat - t.t_lat) * (p.lat - t.t_lat) < 4e0
+         |AND abs(p.sec - t.t_sec) <= 172800
+         |ORDER BY t.tid, p.doc_id""".stripMargin,
+    "q_xz_intersects_join" ->
+      s"""WITH $CTE_NBOX, $CTE_REGIONS
+         |SELECT n.n_nationkey, r.region_id FROM nbox n JOIN regions r
+         |ON NOT (n.xmax < r.xmin OR r.xmax < n.xmin OR n.ymax < r.ymin OR r.ymax < n.ymin)
+         |ORDER BY n.n_nationkey, r.region_id""".stripMargin,
+    "q_map_agg" ->
+      """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS total
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+    "q_surface_tile" ->
+      s"""WITH $CTE_PAGES
+         |SELECT CAST(FLOOR((lon - (-180e0)) / 360e0 * 32) AS BIGINT) AS cell_x,
+         |       CAST(FLOOR((lat - (-85e0)) / 170e0 * 16) AS BIGINT) AS cell_y,
+         |       MAX(CAST(length(text) AS BIGINT)) AS v
+         |FROM pages
+         |WHERE lon >= -180e0 AND lon < 180e0 AND lat >= -85e0 AND lat < 85e0
+         |GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
+    "q_union_dedup" ->
+      s"""WITH $CTE_PAGES
+         |SELECT DISTINCT doc_id FROM pages
+         |WHERE (lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0)
+         |   OR (lon > -76e0 AND lon < -66e0 AND lat > 30e0 AND lat < 42e0)
+         |ORDER BY doc_id""".stripMargin,
+    "q_histogram_grouped" ->
+      """SELECT lang, source, COUNT(*) AS n FROM documents
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "q_z3_temporal_bins" ->
+      s"""WITH $CTE_PAGES
+         |SELECT CAST(FLOOR(sec / 86400e0) AS BIGINT) AS bin, COUNT(*) AS n
+         |FROM pages
+         |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0
+         |GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

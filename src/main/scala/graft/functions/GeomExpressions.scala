@@ -349,3 +349,68 @@ case class CellNeighbors(child: Expression) extends UnaryExpression with Seriali
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.index.Z2.neighbors($c))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+// ---- Z3 / XZ2 index expressions ----
+
+/** z3_encode(lon, lat, epochSec, periodSec, res) → packed Z3 cell id. */
+case class Z3Encode(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.size == 5, "z3_encode(lon, lat, epoch_sec, period_sec, res)")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else graft.index.Z3.encode(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Long], vs(3).asInstanceOf[Long], vs(4).asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.index.Z3.encode(${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value}, ${evs(4).value});
+        }""")
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+/** time_bin(epochSec, periodSec) → period bin (floorDiv). */
+case class TimeBin(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(e: Any, p: Any): Any =
+    graft.index.Z3.timeBin(e.asInstanceOf[Long], p.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, p) => s"graft.index.Z3.timeBin($e, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** xz2_encode(geom, maxRes) → single extent cell id (no multi-index dupes). */
+case class Xz2Encode(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    GeomRT.xz2(g.asInstanceOf[Array[Byte]], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) => s"${RT.C}.xz2($g, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** xz2_query_cover(geom, maxRes) → array<long> of candidate extent cells
+  * for the query window (probe side of an XZ join). */
+case class Xz2QueryCover(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    new GenericArrayData(GeomRT.xz2QueryCover(g.asInstanceOf[Array[Byte]], r.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${RT.C}.xz2QueryCover($g, $r))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

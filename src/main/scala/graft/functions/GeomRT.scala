@@ -156,4 +156,15 @@ object GeomRT {
     val (x0, y0, x1, y1) = Z2.bounds(id)
     makeBox(x0, y0, x1, y1)
   }
+
+  // ---- XZ2 extent index ----
+  def xz2(b: Array[Byte], maxRes: Int): Long = {
+    val env = GeomCodec.fromWkb(b).getEnvelopeInternal
+    graft.index.XZ2.encode(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, maxRes)
+  }
+
+  def xz2QueryCover(b: Array[Byte], maxRes: Int): Array[Long] = {
+    val env = GeomCodec.fromWkb(b).getEnvelopeInternal
+    graft.index.XZ2.queryCover(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, maxRes)
+  }
 }

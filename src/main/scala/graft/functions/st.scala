@@ -59,6 +59,11 @@ object st {
   def cellParent(c: Column, res: Column): Column = col(CellParent(ex(c), ex(res)))
   def cellBox(c: Column): Column = col(CellBox(ex(c)))
   def cellNeighbors(c: Column): Column = col(CellNeighbors(ex(c)))
+  def z3Encode(lon: Column, lat: Column, epochSec: Column, periodSec: Column, res: Column): Column =
+    col(Z3Encode(Seq(ex(lon), ex(lat), ex(epochSec), ex(periodSec), ex(res))))
+  def timeBin(epochSec: Column, periodSec: Column): Column = col(TimeBin(ex(epochSec), ex(periodSec)))
+  def xz2(g: Column, maxRes: Column): Column = col(Xz2Encode(ex(g), ex(maxRes)))
+  def xz2QueryCover(g: Column, maxRes: Column): Column = col(Xz2QueryCover(ex(g), ex(maxRes)))
 
   /** Register every st_* / cell_* function for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -110,5 +115,9 @@ object st {
     f2("cell_parent", CellParent)
     f1("cell_box", CellBox)
     f1("cell_neighbors", CellNeighbors)
+    reg.createOrReplaceTempFunction("z3_encode", es => Z3Encode(es), "built-in")
+    f2("time_bin", TimeBin)
+    f2("xz2_encode", Xz2Encode)
+    f2("xz2_query_cover", Xz2QueryCover)
   }
 }

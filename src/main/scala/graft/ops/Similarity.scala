@@ -64,4 +64,74 @@ object Similarity {
       .orderBy(col("cos").desc, col(idName).asc)
       .limit(k)
   }
+
+  /** Embedding-cosine near-duplicate pairs: LSH sign-bucket equi-join →
+   *  exact cosine refine (the embedding analog of Dedup.minhashPairs; the
+   *  bucket key bounds the join like the spatial cell key does). Pairs with
+   *  all `bits` hyperplane signs equal are candidates; cosine >= threshold
+   *  survives. Lower `bits` = higher recall, bigger buckets. */
+  def nearDupPairs(df: DataFrame, vecName: String, idName: String,
+                   threshold: Double, bits: Int, dim: Int): DataFrame = {
+    val keyed = df.select(col(idName).as("id"), col(vecName).as("vec"))
+      .withColumn("__key", lshKey(col("vec"), bits, dim))
+    val a = keyed.select(col("__key"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = keyed.select(col("__key"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("__key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
+   * IVF-style ANN: k-means-lite coarse quantizer (deterministic seeds from
+   * the data itself: every (n/nlist)-th row by id order), assign each vector
+   * to its nearest centroid (broadcast), probe the query's `nprobe` nearest
+   * lists, exact re-rank inside them. The scale path: list assignment is a
+   * narrow map, probing reads ~nprobe/nlist of the data.
+   */
+  def ivfTopK(df: DataFrame, vecName: String, idName: String,
+              query: Array[Float], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    // deterministic centroids: evenly-spaced rows in id order (no RNG)
+    val seeds = df.select(col(idName).as("id"), col(vecName).as("v"))
+      .orderBy("id").limit(nlist * 8).collect()
+      .zipWithIndex.filter(_._2 % 8 == 0).map(_._1.getSeq[Float](1).toArray)
+    val centroids = seeds.take(nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assignExpr = {
+      // nearest centroid id by cosine via array expressions would be O(nlist)
+      // columns; a tiny scala udf keeps it readable — the per-row cost is
+      // nlist * dim multiply-adds either way
+      import org.apache.spark.sql.functions.udf
+      udf((v: Seq[Float]) => {
+        val cs = bc.value
+        var best = 0; var bestScore = Double.MinValue
+        var i = 0
+        while (i < cs.length) {
+          var dot = 0.0; var j = 0
+          val c = cs(i)
+          while (j < c.length && j < v.length) { dot += c(j).toDouble * v(j); j += 1 }
+          if (dot > bestScore) { bestScore = dot; best = i }
+          i += 1
+        }
+        best
+      })
+    }
+    val listed = df.withColumn("__list", assignExpr(col(vecName)))
+
+    val qScores = centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var j = 0
+      while (j < c.length && j < query.length) { dot += c(j).toDouble * query(j); j += 1 }
+      (i, dot)
+    }
+    val probeLists = qScores.sortBy(-_._2).take(nprobe).map(_._1)
+
+    val q = typedlit(query)
+    listed.filter(col("__list").isin(probeLists: _*))
+      .select(col(idName), cosine(col(vecName), q).as("cos"))
+      .orderBy(col("cos").desc, col(idName).asc)
+      .limit(k)
+  }
 }

@@ -52,13 +52,18 @@ object WebPages {
        | ELSE (($H3 % 170000) / 1e3) - 85e0
        |END""".stripMargin.replace("\n", " ")
 
+  /** Crawl-timestamp seconds within a 30-day window (pure int64 math so the
+   *  oracle reproduces it exactly; also the epoch base of warc_ts). */
+  val SEC_EXPR = "((doc_id * 77773) % 2592000)"
+
   /** Pages with geoparsed lon/lat + WKB point geometry. */
   def pages(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = docs.selectExpr(
       "doc_id", "text", "lang",
       s"$LON_EXPR AS lon",
-      s"$LAT_EXPR AS lat")
+      s"$LAT_EXPR AS lat",
+      s"$SEC_EXPR AS sec")
     base
       .withColumn("url", concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
         lit(".example/"), col("doc_id").cast("string")))
@@ -107,4 +112,16 @@ object WebPages {
     spark.read.parquet(s"$sfDir/nation.parquet").selectExpr(
       "n_nationkey", s"$N_CLON AS clon", s"$N_CLAT AS clat")
       .withColumn("center_geom", st.point($("clon"), $("clat")))
+
+  // ---- synthetic tracks (tube-select LHS): derived from events ----
+  val TH1 = "((event_id * 22695477 + 1) % 2147483648)"
+  val TH2 = "((event_id * 134775813 + 5) % 2147483648)"
+  val T_LON = s"((($TH1 % 360000) / 1e3) - 180e0)"
+  val T_LAT = s"((($TH2 % 170000) / 1e3) - 85e0)"
+  val T_SEC = "((event_id * 7919) % 2592000)"
+
+  /** Track points (tid, t_lon, t_lat, t_sec): 5 interleaved tracks. */
+  def track(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet").selectExpr(
+      "event_id % 5 AS tid", s"$T_LON AS t_lon", s"$T_LAT AS t_lat", s"$T_SEC AS t_sec")
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.index.{XZ2, Z2, Z3}
+import org.scalatest.funsuite.AnyFunSuite
+
+class Z3XZ2Spec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(11)
+
+  test("z3 spread3/squash3 round-trip") {
+    (0 until 500).foreach { _ =>
+      val v = rnd.nextLong() & 0x1fffffL
+      assert(Z3.squash3(Z3.spread3(v)) === v)
+    }
+  }
+
+  test("z3 interleave splits back to x/y/t") {
+    (0 until 300).foreach { _ =>
+      val x = rnd.nextLong() & 0x7ffffL
+      val y = rnd.nextLong() & 0x7ffffL
+      val t = rnd.nextLong() & 0x7ffffL
+      val z = Z3.interleave(x, y, t)
+      assert(Z3.squash3(z) === x)
+      assert(Z3.squash3(z >> 1) === y)
+      assert(Z3.squash3(z >> 2) === t)
+    }
+  }
+
+  test("z3 encode puts (lon, lat, t) inside cell bounds") {
+    val period = 7L * 86400
+    (0 until 300).foreach { _ =>
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 180 - 90
+      val sec = math.abs(rnd.nextLong() % (100L * period))
+      val res = 1 + rnd.nextInt(Z3.MaxRes)
+      val id = Z3.encode(lon, lat, sec, period, res)
+      val (x0, y0, t0, x1, y1, t1) = Z3.bounds(id, period)
+      assert(lon >= x0 - 1e-9 && lon <= x1 + 1e-9)
+      assert(lat >= y0 - 1e-9 && lat <= y1 + 1e-9)
+      val off = sec - Z3.timeBin(sec, period) * period
+      assert(off >= t0 - 1e-6 && off <= t1 + 1e-6)
+    }
+  }
+
+  test("z3 coverBBoxTime covers every interior point's encode") {
+    val period = 86400L
+    val cells = Z3.coverBBoxTime(-10, -10, 10, 10, 1000, 50000, period, 4).toSet
+    (0 until 300).foreach { _ =>
+      val lon = rnd.nextDouble() * 20 - 10
+      val lat = rnd.nextDouble() * 20 - 10
+      val sec = 1000 + math.abs(rnd.nextLong() % 49000)
+      assert(cells.contains(Z3.encode(lon, lat, sec, period, 4)))
+    }
+  }
+
+  test("timeBin floors negatives correctly") {
+    assert(Z3.timeBin(-1, 100) === -1L)
+    assert(Z3.timeBin(0, 100) === 0L)
+    assert(Z3.timeBin(199, 100) === 1L)
+  }
+
+  test("xz2: doubled cell anchored at encode's cell contains the envelope") {
+    (0 until 500).foreach { _ =>
+      val x0 = rnd.nextDouble() * 340 - 180
+      val y0 = rnd.nextDouble() * 160 - 90
+      val w = math.pow(10, rnd.nextDouble() * 4 - 3) // 1e-3 .. 10 deg
+      val h = math.pow(10, rnd.nextDouble() * 4 - 3)
+      val (x1, y1) = (math.min(180, x0 + w), math.min(90, y0 + h))
+      val id = XZ2.encode(x0, y0, x1, y1, maxRes = 12)
+      val r = Z2.resOf(id)
+      val (cx0, cy0, cx1, cy1) = Z2.bounds(id)
+      val cw = cx1 - cx0; val ch = cy1 - cy0
+      assert(x0 >= cx0 - 1e-9 && y0 >= cy0 - 1e-9, "anchor cell holds min corner")
+      assert(x1 <= cx0 + 2 * cw + 1e-9 && y1 <= cy0 + 2 * ch + 1e-9,
+        s"doubled cell must contain envelope: res $r env=($x0,$y0,$x1,$y1) cell=($cx0,$cy0,$cx1,$cy1)")
+    }
+  }
+
+  test("xz2 queryCover finds every extent whose envelope intersects the window") {
+    val maxRes = 8
+    val win = (0.0, 0.0, 20.0, 10.0)
+    val cover = XZ2.queryCover(win._1, win._2, win._3, win._4, maxRes, budget = 100000).toSet
+    (0 until 1000).foreach { _ =>
+      val x0 = rnd.nextDouble() * 340 - 180
+      val y0 = rnd.nextDouble() * 160 - 90
+      val w = math.pow(10, rnd.nextDouble() * 3 - 2)
+      val h = math.pow(10, rnd.nextDouble() * 3 - 2)
+      val (x1, y1) = (math.min(180, x0 + w), math.min(90, y0 + h))
+      val intersects = !(x1 < win._1 || win._3 < x0 || y1 < win._2 || win._4 < y0)
+      if (intersects) {
+        val id = XZ2.encode(x0, y0, x1, y1, maxRes)
+        assert(cover.contains(id), s"missing xz cell for env=($x0,$y0,$x1,$y1) res=${Z2.resOf(id)}")
+      }
+    }
+  }
+}
