@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.functions.{BinFingerprint, ByteHistogram, FrameSample}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+ * The Spark-side plumbing — schema, partition-friendly narrow transforms,
+ * frame batch shape — is real and tested; the codec decode itself is
+ * STUBBED with deterministic byte-level stand-ins (crc-derived dimensions,
+ * byte histograms, even-slice frame sampling) because no image/audio
+ * libraries exist in this environment. Swap `decodeMeta`/`features` bodies
+ * for real codecs without touching the pipeline shape.
+ */
+object Multimodal {
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnShim.column(e)
+  private def ex(col: Column) = ColumnShim.expression(col)
+
+  def byteHistogram(payload: Column, bins: Int): Column =
+    c(ByteHistogram(ex(payload), ex(lit(bins))))
+  def fingerprint(payload: Column): Column = c(BinFingerprint(ex(payload)))
+  def frameSample(payload: Column, n: Int): Column =
+    c(FrameSample(ex(payload), ex(lit(n))))
+
+  /** STUB decode: deterministic (width, height, n_bytes) pseudo-metadata
+    * from the payload content — stands in for an image header parse. */
+  def decodeMeta(payload: Column): Column = struct(
+    (pmod(crc32(payload), lit(1792)) + 128).cast("int").as("width"),
+    (pmod(crc32(reverse(payload)), lit(952)) + 128).cast("int").as("height"),
+    length(payload).cast("long").as("n_bytes"))
+
+  /** Media table derived from a documents frame: opaque payload bytes +
+    * media_type + decoded metadata (pure projection, no shuffle). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .withColumn("meta", decodeMeta(col("payload")))
+
+  /** Per-media feature extraction: fingerprint + folded byte histogram
+    * (narrow, codegen'd — the shape a real embedding UDF would take). */
+  def features(media: DataFrame, bins: Int = 16): DataFrame =
+    media.select(
+      col("doc_id"), col("media_type"), col("meta"),
+      fingerprint(col("payload")).as("fp"),
+      byteHistogram(col("payload"), bins).as("hist"))
+
+  /** Frame sampling for video rows: one output row per frame slice, with
+    * per-frame feature columns (explode = the distributed batch shape). */
+  def frames(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"), posexplode(frameSample(col("payload"), n)).as(Seq("frame_idx", "frame")))
+      .withColumn("frame_fp", fingerprint(col("frame")))
+      .withColumn("frame_bytes", length(col("frame")).cast("long"))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.layout.CellLayout
+import graft.pages.WebPages
+import org.apache.spark.sql.functions._
+
+/** Write path: cell-partitioned layout, manifest metrics, kill/resume,
+  * partition pruning on read (north rule: resumable stages with
+  * per-partition lineage + metrics). */
+class CellLayoutSpec extends SparkSpec {
+
+  private def freshDir() = java.nio.file.Files.createTempDirectory("graft_layout").toString
+
+  private def keyedPages = CellLayout.withCellKeys(
+    WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat", "sec"),
+    col("lon"), col("lat"), col("doc_id"))
+
+  test("write produces bucket partitions + manifest with row/byte metrics") {
+    val out = freshDir()
+    val manifest = CellLayout.write(keyedPages, out, inputPath = sfDir)
+    assert(manifest.nonEmpty)
+    val totalRows = manifest.values.map(_.rows).sum
+    assert(totalRows === keyedPages.count())
+    manifest.values.foreach { m =>
+      assert(m.bytes > 0 && m.files > 0 && m.inputPath === sfDir)
+    }
+    // round-trip: all rows come back
+    val back = CellLayout.read(spark, out)
+    assert(back.count() === totalRows)
+    assert(back.columns.contains("bucket"))
+  }
+
+  test("kill/resume: interrupted write resumes only missing buckets; final data identical") {
+    val out = freshDir()
+    // "kill" after the first wave
+    val partial = CellLayout.write(keyedPages, out, sfDir, waves = 4, maxWaves = 1)
+    val full = CellLayout.write(keyedPages, out, sfDir, waves = 4) // resume
+    assert(partial.size < full.size, "first run must be partial")
+    // resumed buckets keep their original wave tag — proof they were not rewritten
+    partial.foreach { case (b, m) => assert(full(b).wave === m.wave && full(b).rows === m.rows) }
+    val expect = keyedPages.select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = CellLayout.read(spark, out).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === expect.toSeq)
+    // idempotent: a third run does nothing
+    val again = CellLayout.write(keyedPages, out, sfDir)
+    assert(again === full)
+  }
+
+  test("read with queryBox prunes directory partitions (PartitionFilters)") {
+    val out = freshDir()
+    CellLayout.write(keyedPages, out, sfDir)
+    val pruned = CellLayout.read(spark, out, Some((-80.0, 35.0, -70.0, 45.0)))
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      plan.takeRight(600))
+    // pruned read ⊇ exact bbox rows (cover is an over-approximation)
+    val exact = keyedPages.filter(col("lon") > -80 && col("lon") < -70 &&
+      col("lat") > 35 && col("lat") < 45).count()
+    assert(pruned.count() >= exact)
+    assert(pruned.filter(col("lon") > -80 && col("lon") < -70 &&
+      col("lat") > 35 && col("lat") < 45).count() === exact)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.streaming.LiveView
+import graft.streaming.LiveView.{FeatureEvent, LiveFeature}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming live view (T1-T3) with MemoryStream, and the multimodal
+  * binary-column pipeline. */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Tests drive the query with Trigger.AvailableNow — each run drains the
+  // input then stops; state resumes from the checkpoint. foreachBatch is
+  // the sink because it supports checkpoint recovery (memory sink doesn't).
+  private def drain(ckpt: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        StreamingMultimodalSpec.sink.addAll(java.util.Arrays.asList(rows: _*))
+        () // foreachBatch needs Unit, addAll returns Boolean
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "query did not drain in time")
+  }
+  private def collected: Seq[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    StreamingMultimodalSpec.sink.iterator().asScala.toSeq
+  }
+
+  test("live view: upsert-by-id keeps latest, delete removes, state survives restart (T2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    StreamingMultimodalSpec.sink.clear()
+    val input = MemoryStream[FeatureEvent]
+    def live = LiveView.liveState(input.toDS()).toDF()
+    input.addData(
+      FeatureEvent("a", 1.0, 1.0, 100L, "upsert"),
+      FeatureEvent("b", 2.0, 2.0, 100L, "upsert"))
+    drain(ckpt, live)
+    input.addData(
+      FeatureEvent("a", 5.0, 5.0, 200L, "upsert"), // update wins by ts
+      FeatureEvent("b", 0.0, 0.0, 300L, "delete"))
+    drain(ckpt, live) // resume from checkpoint (restartability)
+    val rows = collected.map(r => LiveFeature(r.getString(0), r.getDouble(1),
+      r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    val latest = rows.groupBy(_.id).map { case (id, rs) => id -> rs.maxBy(_.tsMillis) }
+    assert(latest("a").alive && latest("a").lon === 5.0)
+    assert(!latest("b").alive)
+  }
+
+  test("live view: bbox filter over the changelog (T3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt3").toString
+    val input = MemoryStream[FeatureEvent]
+    val view = LiveView.bboxView(
+      LiveView.withTtl(LiveView.liveState(input.toDS()), ttlMillis = 3600000L, asOfMillis = 1000L),
+      0, 0, 10, 10)
+    StreamingMultimodalSpec.sink.clear()
+    input.addData(
+      FeatureEvent("in", 5.0, 5.0, 100L, "upsert"),
+      FeatureEvent("out", 50.0, 50.0, 100L, "upsert"))
+    drain(ckpt, view)
+    val ids = collected.map(_.getString(0)).toSet
+    assert(ids === Set("in"))
+  }
+
+  test("live view: write-TTL expiry is invisible on read (T1)") {
+    val live = Seq(
+      LiveFeature("fresh", 1, 1, 900L, alive = true),
+      LiveFeature("stale", 2, 2, 100L, alive = true),
+      LiveFeature("dead", 3, 3, 950L, alive = false)).toDS()
+    val visible = LiveView.withTtl(live, ttlMillis = 500L, asOfMillis = 1000L)
+      .collect().map(_.id).toSet
+    assert(visible === Set("fresh"))
+  }
+
+  test("multimodal: media table schema, deterministic stub decode, features") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.mediaTable(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    assert(media.schema("meta").dataType.typeName === "struct")
+    val feats = Multimodal.features(media, bins = 16).collect()
+    assert(feats.length === docs.count())
+    feats.foreach { r =>
+      val hist = r.getSeq[Long](4)
+      assert(hist.length === 16)
+      val meta = r.getStruct(2)
+      // histogram mass == payload byte count (text is ascii-ish; exact)
+      assert(hist.sum === meta.getLong(2))
+      assert(meta.getInt(0) >= 128 && meta.getInt(1) >= 128)
+    }
+    // determinism: same payload → same fingerprint
+    val fp1 = Multimodal.features(media).select("fp").collect().map(_.getLong(0))
+    val fp2 = Multimodal.features(media).select("fp").collect().map(_.getLong(0))
+    assert(fp1.toSeq === fp2.toSeq)
+  }
+
+  test("multimodal: frame sampling reassembles to a prefix of the payload") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.frames(media, n = 4)
+      .orderBy("doc_id", "frame_idx").collect()
+    val videos = media.filter(col("media_type") === "video")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      val joined = fs.sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2))
+      val payload = videos(id)
+      assert(joined.length <= payload.length)
+      assert(joined.toSeq === payload.take(joined.length).toSeq)
+      assert(fs.forall(_.getLong(4) > 0))
+    }
+  }
+}
+
+object StreamingMultimodalSpec {
+  /** Driver-side collector for foreachBatch output across query restarts. */
+  val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+}
