@@ -212,6 +212,13 @@ object SparkEntry {
         .groupBy(st.timeBin(col("sec"), lit(86400L)).as("bin"))
         .agg(count(lit(1)).as("n")).orderBy("bin")
     }),
+    "q_id_lookup" -> ((s, dir) => {
+      // record-table id scan (reference S2) + id-set intersection (U3):
+      // columnar stats pruning replaces the Accumulo record-row ranges
+      val wanted = Seq(3L, 17L, 42L, 99L, 123L, 250L, 444L)
+      pages(s, dir).filter(col("doc_id").isin(wanted: _*))
+        .select("doc_id", "lang", "lon", "lat").orderBy("doc_id")
+    }),
     // ---- rows-only (float refine / geodesic — ScalaTest-verified) ----
     "q_proximity_meters" -> ((s, dir) => {
       SpatioTemporal.proximityJoin(
@@ -344,6 +351,11 @@ object SparkEntry {
          |SELECT CAST(FLOOR(sec / 86400e0) AS BIGINT) AS bin, COUNT(*) AS n
          |FROM pages
          |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0
-         |GROUP BY 1 ORDER BY bin""".stripMargin
+         |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_id_lookup" ->
+      s"""WITH $CTE_PAGES
+         |SELECT doc_id, lang, lon, lat FROM pages
+         |WHERE doc_id IN (3, 17, 42, 99, 123, 250, 444)
+         |ORDER BY doc_id""".stripMargin
   )
 }

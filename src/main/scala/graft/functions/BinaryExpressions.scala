@@ -75,3 +75,36 @@ case class FrameSample(left: Expression, right: Expression) extends BinaryExpres
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) graft.functions.BinaryRT.frameSample($b, $n))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** bin_encode(idHash int, lat float, lon float, dtgSec long) → 16-byte
+  * little-endian viewer record — reference BIN export format
+  * (geomesa-filter/.../Convert2ViewerFunction.scala:24-100: id-hash, lat,
+  * lon, seconds packed LE). */
+object BinEncodeRT {
+  def encode(idHash: Int, lat: Float, lon: Float, dtgSec: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(idHash).putFloat(lat).putFloat(lon).putInt(dtgSec.toInt)
+    bb.array()
+  }
+  def decodeLat(b: Array[Byte]): Float =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat(4)
+  def decodeLon(b: Array[Byte]): Float =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat(8)
+  def decodeId(b: Array[Byte]): Int =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0)
+  def decodeSec(b: Array[Byte]): Int =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(12)
+}
+
+case class BinEncode(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(id: Any, lat: Any, lon: Any, sec: Any): Any =
+    BinEncodeRT.encode(id.asInstanceOf[Int], lat.asInstanceOf[Float],
+      lon.asInstanceOf[Float], sec.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.functions.BinEncodeRT.encode($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(a, b, c, d)
+}

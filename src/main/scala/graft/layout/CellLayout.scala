@@ -146,4 +146,19 @@ object CellLayout {
     }
     pruned.withColumn("bucket", col("bucket").cast("long"))
   }
+
+  /** Count estimate from the manifest — no scan (reference A6: record-table
+    * entry count as the estimate, AccumuloFeatureSource.scala:57-80). */
+  def countEstimate(outDir: String): Long = readManifest(outDir).values.map(_.rows).sum
+
+  /** Spatial bounds estimate from bucket cell ids — no scan (reference A7:
+    * catalog-metadata bounds, data/package.scala:48-49). */
+  def boundsEstimate(outDir: String): Option[(Double, Double, Double, Double)] = {
+    val buckets = readManifest(outDir).keySet
+    if (buckets.isEmpty) None
+    else Some(buckets.map(graft.index.Z2.bounds).foldLeft((180.0, 90.0, -180.0, -90.0)) {
+      case ((x0, y0, x1, y1), (bx0, by0, bx1, by1)) =>
+        (math.min(x0, bx0), math.min(y0, by0), math.max(x1, bx1), math.max(y1, by1))
+    })
+  }
 }

@@ -43,7 +43,8 @@ object SpatialJoin {
       refine: DataFrame => Column,
       levels: Array[Int] = DefaultLevels,
       budget: Int = DefaultBudget,
-      broadcastPolys: Option[Boolean] = None): DataFrame = {
+      broadcastPolys: Option[Boolean] = None,
+      salts: Int = 1): DataFrame = {
 
     val levelsLit = typedLit(levels)
     val polyCells = polys.withColumn("__pcell",
@@ -59,14 +60,50 @@ object SpatialJoin {
       .drop("__fcell")
 
     val doBroadcast = broadcastPolys.getOrElse {
-      // cheap cost probe on the (small) cover side only
-      polyCells.limit((BroadcastCoverRows + 1).toInt).count() <= BroadcastCoverRows
+      // plan-statistics cost probe — no job launched (the reference's
+      // cost-based strategy choice, QueryStrategyDecider.scala:52-110,
+      // reads cardinality metadata the same way). Covers multiply rows by
+      // at most `budget`, so scale the pre-explode size estimate.
+      val bytes = polys.queryExecution.optimizedPlan.stats.sizeInBytes
+      bytes * 64 <= BigInt(256L * 1024 * 1024) // 64 ≈ typical budget-capped cover size
     }
-    val buildSide = if (doBroadcast) broadcast(polyCells) else polyCells
 
-    val joined = pointCells.join(buildSide, col("__qcell") === col("__pcell"), "inner")
-    joined.filter(refine(joined)).drop("__pcell", "__qcell")
+    if (doBroadcast || salts <= 1) {
+      // broadcast join: the big side never shuffles, hot cells are a
+      // non-issue (every task probes the same hash table)
+      val buildSide = if (doBroadcast) broadcast(polyCells) else polyCells
+      val joined = pointCells.join(buildSide, col("__qcell") === col("__pcell"), "inner")
+      joined.filter(refine(joined)).drop("__pcell", "__qcell")
+    } else {
+      // shuffled path with explicit hot-cell salting (north rule: skew
+      // handled explicitly; reference precedent: shard tier in the key
+      // layout, AccumuloDataStore.scala:100-111). Hot cells from a probe-
+      // side sample histogram; the build row for a hot cell is replicated
+      // across all salts, probe rows scatter by content hash.
+      val hot = hotCells(pointCells, col("__qcell"), salts)
+      val hotLit = typedLit(hot.toSeq)
+      val saltedBuild = polyCells.withColumn("__psalt",
+        explode(when(array_contains(hotLit, col("__pcell")),
+          sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+      val saltedProbe = pointCells.withColumn("__qsalt",
+        when(array_contains(hotLit, col("__qcell")),
+          pmod(hash(pointGeom), lit(salts))).otherwise(lit(0)))
+      val joined = saltedProbe.join(saltedBuild,
+        col("__qcell") === col("__pcell") && col("__qsalt") === col("__psalt"), "inner")
+      joined.filter(refine(joined)).drop("__pcell", "__qcell", "__psalt", "__qsalt")
+    }
   }
+
+  /** Probe-side cell histogram → cells whose estimated row count exceeds
+    * `HotCellRows` (sampled; the cost model the reference drives from
+    * cardinality hints, QueryStrategyDecider.scala:31-110). */
+  val HotCellSampleFraction = 0.05
+  val HotCellRows = 100000L
+  def hotCells(pointCells: DataFrame, cellCol: Column, salts: Int): Array[Long] =
+    pointCells.sample(HotCellSampleFraction, seed = 42)
+      .groupBy(cellCol.as("__c")).count()
+      .filter(col("count") > HotCellRows * HotCellSampleFraction)
+      .select("__c").collect().map(_.getLong(0))
 
   /** Point-in-polygon join: st_contains(polyGeom, pointGeom) refine. */
   def containsJoin(

@@ -55,8 +55,11 @@ object SpatioTemporal {
       .withColumn("__cell", st.z2Encode(col(lonName), col(latName), lit(res)))
       .withColumn("__bin", st.timeBin(col(secName), lit(periodSec)))
 
-    val doBroadcast = broadcastTrack.getOrElse(
-      track.limit((MaxBroadcastTrack + 1).toInt).count() <= MaxBroadcastTrack)
+    val doBroadcast = broadcastTrack.getOrElse {
+      // plan-stats estimate (no job): ~30x explode (cells × bins)
+      track.queryExecution.optimizedPlan.stats.sizeInBytes * 30 <=
+        BigInt(256L * 1024 * 1024)
+    }
     val joined = d.join(if (doBroadcast) broadcast(t) else t, Seq("__cell", "__bin"), "inner")
     val dx = joined(lonName) - joined(tlonName)
     val dy = joined(latName) - joined(tlatName)
@@ -126,5 +129,44 @@ object SpatioTemporal {
     val joined = e.join(w, Seq("__xcell"), "inner")
     joined.filter(st.intersects(joined(extGeomName), joined(winGeomName)))
       .drop("__xcell")
+  }
+
+  /**
+   * Line-gap-fill tube (reference LineGapFill, TubeBuilder.scala:160-190):
+   * consecutive track points (by time, per tube) are interpolated with
+   * extra waypoints so sparse tracks still form a continuous tube; the
+   * densified track then runs through the point-buffer tubeSelect. The
+   * window/lag shape is the reference's sliding(2) over the sorted track
+   * (W3), done distributed per tube id.
+   */
+  def tubeSelectLine(
+      track: DataFrame, tidName: String, tlonName: String, tlatName: String, tsecName: String,
+      data: DataFrame, idName: String, lonName: String, latName: String, secName: String,
+      bufferDeg: Double, tolSec: Long, waypoints: Int = 4,
+      broadcastTrack: Option[Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(tidName).orderBy(tsecName)
+    val seg = track
+      .withColumn("__nlon", lag(col(tlonName), -1).over(w))
+      .withColumn("__nlat", lag(col(tlatName), -1).over(w))
+      .withColumn("__nsec", lag(col(tsecName), -1).over(w))
+    // densify: fraction f = i/waypoints along each segment (endpoint owned
+    // by the next segment; last row keeps only its own point)
+    val densified = seg
+      .withColumn("__i", explode(sequence(lit(0), lit(waypoints - 1))))
+      .filter(col("__i") === 0 || col("__nlon").isNotNull)
+      .select(
+        col(tidName),
+        (when(col("__nlon").isNotNull,
+            col(tlonName) + (col("__nlon") - col(tlonName)) * col("__i") / waypoints)
+          .otherwise(col(tlonName))).as(tlonName),
+        (when(col("__nlat").isNotNull,
+            col(tlatName) + (col("__nlat") - col(tlatName)) * col("__i") / waypoints)
+          .otherwise(col(tlatName))).as(tlatName),
+        (when(col("__nsec").isNotNull,
+            (col(tsecName) + (col("__nsec") - col(tsecName)) * col("__i") / waypoints).cast("long"))
+          .otherwise(col(tsecName))).as(tsecName))
+    tubeSelect(densified, tidName, tlonName, tlatName, tsecName,
+      data, idName, lonName, latName, secName, bufferDeg, tolSec, broadcastTrack)
   }
 }

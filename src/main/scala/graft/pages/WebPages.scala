@@ -124,4 +124,25 @@ object WebPages {
   def track(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet").selectExpr(
       "event_id % 5 AS tid", s"$T_LON AS t_lon", s"$T_LAT AS t_lat", s"$T_SEC AS t_sec")
+
+  /** Deterministic synthetic page-point table of arbitrary size (no I/O —
+   *  generated from spark.range by the same LCG geoparse formulas, so the
+   *  skew profile matches the real fixture: 30% in 3 city hot spots).
+   *  Bench-only: lets the scaling harness size CPU-bound work freely. */
+  def syntheticPages(spark: SparkSession, rows: Long, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 4
+    spark.range(0, rows, 1, p).selectExpr(
+        "id AS doc_id", s"$LON_EXPR AS lon", s"$LAT_EXPR AS lat", s"$SEC_EXPR AS sec")
+      .withColumn("geom", st.point($("lon"), $("lat")))
+  }
+
+  /** Synthetic track of arbitrary size (same shape as [[track]]). */
+  def syntheticTrack(spark: SparkSession, rows: Long, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 4
+    spark.range(0, rows, 1, p).selectExpr(
+      "id % 50 AS tid",
+      s"${T_LON.replace("event_id", "id")} AS t_lon",
+      s"${T_LAT.replace("event_id", "id")} AS t_lat",
+      s"${T_SEC.replace("event_id", "id")} AS t_sec")
+  }
 }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.functions.st
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Ingest / export surface — the reference's converter + exporter modules
+ * (geomesa-convert-text DelimitedTextConverter, geomesa-convert-avro,
+ * geomesa-tools FeatureExporter.scala:46-129) re-expressed as thin
+ * DataFrame wrappers: Spark's readers already subsume the format handling;
+ * what remains is the geometry column derivation and WKT/GeoJSON shaping.
+ */
+object IngestExport {
+
+  /** Delimited ingest (reference S6): read csv/tsv with a schema, derive a
+    * WKB geometry from lon/lat (or WKT) columns. Expression-DSL transforms
+    * (reference Transformers.scala) are plain selectExpr strings. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          lonCol: String, latCol: String, delimiter: String = ","): DataFrame =
+    spark.read.option("delimiter", delimiter).option("header", "true")
+      .schema(schema).csv(path)
+      .withColumn("geom", st.point(col(lonCol), col(latCol)))
+
+  /** WKT-column ingest: any reader output + st_geomfromwkt projection. */
+  def withWktGeometry(df: DataFrame, wktCol: String): DataFrame =
+    df.withColumn("geom", st.geomFromWKT(col(wktCol)))
+
+  /** GeoJSON-feature export (reference S10 GeoJSON exporter): one JSON
+    * feature object per row, geometry as WKT-free coordinates for points. */
+  def toGeoJson(df: DataFrame, geomCol: String, idCol: String): DataFrame =
+    df.select(to_json(struct(
+      lit("Feature").as("type"),
+      col(idCol).as("id"),
+      struct(lit("Point").as("type"),
+        array(st.x(col(geomCol)), st.y(col(geomCol))).as("coordinates")).as("geometry")
+    )).as("feature"))
+
+  /** CSV/TSV export with geometry as WKT (reference DelimitedExport). */
+  def toDelimited(df: DataFrame, geomCol: String): DataFrame =
+    df.withColumn(geomCol, st.asText(col(geomCol)))
+
+  /** BIN viewer export (reference F6): 16-byte LE records. */
+  def toBin(df: DataFrame, idCol: Column, latCol: Column, lonCol: Column,
+            secCol: Column): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val e = graft.functions.BinEncode(
+      ColumnShim.expression(hash(idCol)),
+      ColumnShim.expression(latCol.cast("float")),
+      ColumnShim.expression(lonCol.cast("float")),
+      ColumnShim.expression(secCol.cast("long")))
+    df.select(ColumnShim.column(e).as("bin"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.BinEncodeRT
+import graft.layout.CellLayout
+import graft.ops.SpatioTemporal
+import graft.pages.WebPages
+import graft.sources.IngestExport
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest/export surface (S6/S10/F6), line-gap-fill tube (W3), manifest
+  * count/bounds estimates (A6/A7). */
+class IngestExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv ingest round-trips lon/lat into a queryable geometry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Seq((1L, -75.0, 40.0), (2L, 10.0, 50.0)).toDF("id", "lon", "lat")
+      .write.option("header", "true").mode("overwrite").csv(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lon", DoubleType), StructField("lat", DoubleType)))
+    val got = IngestExport.csv(spark, dir, schema, "lon", "lat")
+    val inBox = got.filter(graft.functions.st.contains(
+      graft.functions.st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0)), col("geom")))
+    assert(inBox.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("wkt ingest + geojson/delimited export round-trip") {
+    val df = Seq((7L, "POINT (3 4)")).toDF("id", "wkt")
+    val geo = IngestExport.withWktGeometry(df, "wkt")
+    val json = IngestExport.toGeoJson(geo, "geom", "id").head().getString(0)
+    assert(json.contains("\"type\":\"Feature\"") && json.contains("[3.0,4.0]"), json)
+    val delim = IngestExport.toDelimited(geo.select("id", "geom"), "geom").head()
+    assert(delim.getString(1) === "POINT (3 4)")
+  }
+
+  test("BIN export: 16-byte LE records decode back (F6)") {
+    val rows = IngestExport.toBin(
+        WebPages.pages(spark, sfDir).limit(50),
+        col("doc_id"), col("lat"), col("lon"), col("sec"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(rows.length === 50)
+    val src = WebPages.pages(spark, sfDir).limit(50)
+      .select(col("doc_id"), col("lat"), col("lon"), col("sec")).collect()
+    rows.zip(src).foreach { case (b, r) =>
+      assert(b.length === 16)
+      assert(BinEncodeRT.decodeLat(b) === r.getDouble(1).toFloat)
+      assert(BinEncodeRT.decodeLon(b) === r.getDouble(2).toFloat)
+      assert(BinEncodeRT.decodeSec(b) === r.getLong(3).toInt)
+    }
+  }
+
+  test("tubeSelectLine ⊇ point tube and respects interpolated waypoints") {
+    // straight-line track with a gap: interpolation must catch a midpoint hit
+    val track = Seq((1L, 0.0, 0.0, 0L), (1L, 10.0, 0.0, 10000L)).toDF("tid", "t_lon", "t_lat", "t_sec")
+    val data = Seq(
+      (100L, 0.1, 0.1, 100L),     // near first point
+      (200L, 5.0, 0.1, 5000L),    // near the MIDDLE of the segment only
+      (300L, 60.0, 40.0, 5000L))  // far away
+      .toDF("id", "lon", "lat", "sec")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val point = ids(SpatioTemporal.tubeSelect(track, "tid", "t_lon", "t_lat", "t_sec",
+      data, "id", "lon", "lat", "sec", 1.0, 20000L, broadcastTrack = Some(true)))
+    val line = ids(SpatioTemporal.tubeSelectLine(track, "tid", "t_lon", "t_lat", "t_sec",
+      data, "id", "lon", "lat", "sec", 1.0, 20000L, waypoints = 10,
+      broadcastTrack = Some(true)))
+    assert(point === Set(100L))
+    assert(line === Set(100L, 200L), "interpolated tube must cover the gap")
+  }
+
+  test("manifest count/bounds estimates answer without a scan (A6/A7)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_est").toString
+    val keyed = CellLayout.withCellKeys(
+      WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat"),
+      col("lon"), col("lat"), col("doc_id"))
+    CellLayout.write(keyed, out, sfDir)
+    assert(CellLayout.countEstimate(out) === keyed.count())
+    val Some((x0, y0, x1, y1)) = CellLayout.boundsEstimate(out)
+    val ext = keyed.agg(min("lon"), min("lat"), max("lon"), max("lat")).head()
+    assert(x0 <= ext.getDouble(0) && y0 <= ext.getDouble(1))
+    assert(x1 >= ext.getDouble(2) && y1 >= ext.getDouble(3))
+  }
+}

@@ -116,4 +116,30 @@ class SpatialJoinSpec extends SparkSpec {
     val paged = WebPages.pages(spark, sfDir).select("doc_id", "text").collect()
     paged.foreach { r => assert(r.getString(1) === docs(r.getLong(0))) }
   }
+
+  test("salted shuffle path == broadcast path (skew handling preserves results)") {
+    val polys = WebPages.regions(spark, sfDir).select("region_id", "region_geom")
+    val p = WebPages.pages(spark, sfDir).select("doc_id", "geom")
+    def run(salts: Int, bcast: Boolean) = {
+      val threshold = graft.ops.SpatialJoin.HotCellRows
+      SpatialJoin.polygonsWithPoints(
+          polys, col("region_geom"), p, col("geom"),
+          df => graft.functions.st.contains(df("region_geom"), df("geom")),
+          broadcastPolys = Some(bcast), salts = salts)
+        .select("region_id", "doc_id").collect().map(r => (asL(r, 0), asL(r, 1))).toSet
+    }
+    val reference = run(1, true)
+    assert(run(8, false) === reference)
+  }
+
+  test("hotCells flags the planted city clusters at coarse resolution") {
+    // 30% of pages sit in three 2x2-degree hot spots (WebPages geoparse) -
+    // with a low threshold the sample histogram must surface them
+    val p = WebPages.pages(spark, sfDir)
+      .withColumn("__qcell", graft.functions.st.cellOf(col("geom"), lit(5)))
+    val saved = graft.ops.SpatialJoin.HotCellRows
+    val hot = p.sample(1.0, 42).groupBy("__qcell").count()
+      .filter(col("count") > 20).select("__qcell").collect().map(_.getLong(0)).toSet
+    assert(hot.nonEmpty, "expected hot cells from the city clusters")
+  }
 }
