@@ -15,6 +15,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
 
     // warmup: touch every input table + exercise codegen once
     Seq("documents", "events", "supplier", "nation", "lineitem", "orders",

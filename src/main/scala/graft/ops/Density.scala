@@ -46,4 +46,43 @@ object Density {
         snapX(lon, xmin, xmax, w).as("cell_x"),
         snapY(lat, ymin, ymax, h).as("cell_y"))
       .agg(max(value).as("v"))
+
+  /** Full WMS-style tile render (reference A8 + CoverageReader.scala:100-160):
+   *  aggregate max-per-pixel inside W×H tiles, then pack each tile into a
+   *  row-major byte buffer Dataset[(tile_x, tile_y, bytes)]. Values are
+   *  min-max normalized to 0..255 per tile (the reference normalizes into
+   *  the byte range the same way). */
+  def tiles(df: DataFrame, lon: Column, lat: Column, value: Column,
+            tileDeg: Double, w: Int, h: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tx = floor((lon + 180.0) / tileDeg).cast("int")
+    val ty = floor((lat + 90.0) / tileDeg).cast("int")
+    val px = floor(((lon + 180.0) / tileDeg - floor((lon + 180.0) / tileDeg)) * w).cast("int")
+    val py = floor(((lat + 90.0) / tileDeg - floor((lat + 90.0) / tileDeg)) * h).cast("int")
+    val perPixel = df
+      .filter(lon >= -180.0 && lon < 180.0 && lat >= -90.0 && lat < 90.0)
+      .groupBy(tx.as("tile_x"), ty.as("tile_y"), px.as("px"), py.as("py"))
+      .agg(max(value).as("v"))
+    val packed = perPixel
+      .groupBy("tile_x", "tile_y")
+      .agg(collect_list(struct(col("px"), col("py"), col("v"))).as("pixels"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
+      StructField("tile", BinaryType))))
+    packed.map({ r =>
+      val buf = new Array[Byte](w * h)
+      val pixels = r.getSeq[Row](2)
+      if (pixels.nonEmpty) {
+        val vs = pixels.map(_.getDouble(2))
+        val lo = vs.min; val hi = vs.max
+        val span = if (hi > lo) hi - lo else 1.0
+        pixels.foreach { p =>
+          val idx = p.getInt(1) * w + p.getInt(0)
+          buf(idx) = (1 + ((p.getDouble(2) - lo) / span * 254.0)).toInt.toByte
+        }
+      }
+      Row(r.getInt(0), r.getInt(1), buf)
+    })(enc)
+  }
 }

@@ -50,9 +50,20 @@ object SpatialJoin {
     val polyCells = polys.withColumn("__pcell",
       explode(st.cellCoverBudget(polyGeom, lit(budget), levelsLit)))
 
-    // finest-level cell once (one WKB parse), ancestors by bit math
+    // finest-level cell once (one WKB parse), ancestors by bit math;
+    // when the "geometry" is a constructed st_point(x, y), skip the WKB
+    // round-trip entirely and bit-interleave the raw doubles
     val finest = levels.last
-    val withFinest = points.withColumn("__fcell", st.cellOf(pointGeom, lit(finest)))
+    val finestCell = {
+      import org.apache.spark.sql.graftshim.ColumnShim
+      ColumnShim.expression(pointGeom) match {
+        case graft.functions.StPoint(x, y) =>
+          ColumnShim.column(graft.functions.Z2Encode(
+            x, y, ColumnShim.expression(lit(finest))))
+        case _ => st.cellOf(pointGeom, lit(finest))
+      }
+    }
+    val withFinest = points.withColumn("__fcell", finestCell)
     val ancestorCols = levels.map(r =>
       if (r == finest) col("__fcell") else st.cellParent(col("__fcell"), lit(r)))
     val pointCells = withFinest
@@ -167,6 +178,76 @@ object SpatialJoin {
    * (KNNQuery.scala:41-105) collapses to one distributed pass. (A
    * ring-pruned variant for huge query sides is future work.)
    */
+  /**
+   * Scalable kNN join for LARGE query sides — the reference's GeoHash-
+   * spiral search (KNNQuery.scala:41-105, GeoHashSpiral.scala:60-159)
+   * re-expressed as one distributed pass + a provable-bound fallback:
+   *
+   *  1. candidates = equi-join on the query's 3×3 cell neighborhood at
+   *     `res` (both sides shuffle on cell id — no cross join);
+   *  2. a query is RESOLVED iff it found ≥ k candidates and its k-th
+   *     distance is ≤ the distance to the neighborhood's edge (the
+   *     guarantee the reference's spiral termination needs — and where
+   *     its GEOMESA-285 under-estimation bug lived: we prove the bound
+   *     instead of assuming it);
+   *  3. unresolved queries (sparse cells) fall back to the broadcast
+   *     brute-force path.
+   *
+   * Planar degree metric, ties by `dataIdName` — identical semantics to
+   * [[knnPlanar]].
+   */
+  def knnJoin(
+      queries: DataFrame, qidName: String, qlonName: String, qlatName: String,
+      data: DataFrame, dlonName: String, dlatName: String,
+      dataIdName: String, k: Int, res: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val cellW = 360.0 / (1L << res)
+    val cellH = 180.0 / (1L << res)
+
+    val d = data.withColumn("__cell", st.z2Encode(col(dlonName), col(dlatName), lit(res)))
+    val q = queries
+      .withColumn("__qc", st.z2Encode(col(qlonName), col(qlatName), lit(res)))
+      // 3×3 neighborhood: own cell + ≤8 neighbors
+      .withColumn("__cell", explode(array_union(array(col("__qc")), st.cellNeighbors(col("__qc")))))
+      // planar distance from the query point to the neighborhood edge —
+      // the correctness bound for early termination
+      .withColumn("__minx", floor((col(qlonName) + 180.0) / cellW) * cellW - 180.0)
+      .withColumn("__miny", floor((col(qlatName) + 90.0) / cellH) * cellH - 90.0)
+      .withColumn("__inr", least(
+        col(qlonName) - (col("__minx") - cellW), (col("__minx") + 2 * cellW) - col(qlonName),
+        col(qlatName) - (col("__miny") - cellH), (col("__miny") + 2 * cellH) - col(qlatName)))
+      .drop("__qc", "__minx", "__miny")
+
+    val joined = q.join(d, Seq("__cell"), "inner")
+    val dx = joined(dlonName) - joined(qlonName)
+    val dy = joined(dlatName) - joined(qlatName)
+    val cand = joined.withColumn("__dist2", dx * dx + dy * dy)
+    val w = Window.partitionBy(qidName).orderBy(col("__dist2").asc, col(dataIdName).asc)
+    val ranked = cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+
+    // a query resolves iff rank-k exists and sqrt(kth dist2) <= edge bound
+    val resolved = ranked.groupBy(col(qidName).as("__rqid"))
+      .agg(count(lit(1)).as("__n"), max(col("__dist2")).as("__kd2"),
+        first(col("__inr")).as("__r"))
+      .filter(col("__n") === k && col("__kd2") <= col("__r") * col("__r"))
+      .select("__rqid")
+
+    val rankedResolved = ranked
+      .join(broadcast(resolved), col(qidName) === col("__rqid"), "left_semi")
+      .drop("__cell", "__inr", "__dist2")
+
+    val unresolvedQueries = queries
+      .join(broadcast(resolved), col(qidName) === col("__rqid"), "left_anti")
+    val fallback = knnPlanar(unresolvedQueries, qlonName, qlatName,
+      data, dlonName, dlatName, dataIdName, k)
+
+    rankedResolved.select(col(qidName), col(dataIdName), col("rank"))
+      .union(fallback.select(col(qidName), col(dataIdName), col("rank")))
+  }
+
   def knnPlanar(
       queries: DataFrame, qlonName: String, qlatName: String,
       data: DataFrame, dlonName: String, dlatName: String,

@@ -1,0 +1,79 @@
+package graft
+
+import graft.meta.FeatureSpec
+import graft.ops.{Density, SpatialJoin}
+import graft.pages.WebPages
+import graft.tools.QueryStats
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ring-kNN join, tile render, spec-string parity, query-stats listener. */
+class KnnMetaSpec extends SparkSpec {
+  private def asL(r: Row, i: Int): Long = r.get(i) match {
+    case l: java.lang.Long => l
+    case n: java.lang.Number => n.longValue()
+  }
+
+  test("knnJoin == knnPlanar at several resolutions (resolve + fallback paths)") {
+    val ctrs = WebPages.nationCenters(spark, sfDir).select("n_nationkey", "clon", "clat")
+    val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")
+    val expect = SpatialJoin.knnPlanar(ctrs, "clon", "clat", pts, "lon", "lat", "doc_id", 5)
+      .select("n_nationkey", "doc_id", "rank").collect()
+      .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+    // coarse res: most queries resolve in-ring; fine res: most fall back —
+    // both paths must agree with the oracle
+    Seq(3, 6, 9).foreach { res =>
+      val got = SpatialJoin.knnJoin(ctrs, "n_nationkey", "clon", "clat",
+          pts, "lon", "lat", "doc_id", 5, res)
+        .select("n_nationkey", "doc_id", "rank").collect()
+        .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+      assert(got === expect, s"res=$res")
+    }
+  }
+
+  test("tile render: bytes buffer per tile, max-normalized, correct pixel placement") {
+    import spark.implicits._
+    val df = Seq(
+      (10.5, 10.5, 1.0),  // tile (19,10) at 10-deg tiles, pixel (0,0)
+      (10.5, 10.6, 5.0),  // same pixel — max wins
+      (15.5, 15.5, 3.0))  // same tile, pixel (4,4)
+      .toDF("lon", "lat", "v")
+    val tiles = Density.tiles(df, $"lon", $"lat", $"v", tileDeg = 10.0, w = 8, h = 8)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getAs[Array[Byte]](2))).toMap
+    assert(tiles.keySet === Set((19, 10)))
+    val buf = tiles((19, 10))
+    assert(buf.length === 64)
+    assert(buf.count(_ != 0) === 2)
+    assert((buf(0) & 0xff) === 255) // pixel (0,0): max(1,5)=5 = tile max
+    assert((buf(4 * 8 + 4) & 0xff) > 0)
+    // the max-valued pixel gets the top of the byte range
+    assert(buf.map(_ & 0xff).max === 255)
+  }
+
+  test("spec string -> StructType -> spec string round-trip with metadata") {
+    val spec = "id:Long,*geom:Point:srid=4326,dtg:Date,tags:List[String],mt:Map[String,Double],n:Integer:index=full"
+    val st = FeatureSpec.structType(spec)
+    assert(st.fieldNames.toSeq === Seq("id", "geom", "dtg", "tags", "mt", "n"))
+    assert(st("geom").dataType === BinaryType)
+    assert(st("dtg").dataType === TimestampType)
+    assert(st("tags").dataType === ArrayType(StringType))
+    assert(st("mt").dataType === MapType(StringType, DoubleType))
+    assert(FeatureSpec.defaultGeometry(st) === Some("geom"))
+    assert(st("geom").metadata.getString("srid") === "4326")
+    assert(st("n").metadata.getString("index") === "full")
+    assert(FeatureSpec.encode(st) === spec)
+  }
+
+  test("query stats listener records per-action durations (reference QueryStat parity)") {
+    QueryStats.install(spark)
+    QueryStats.clear()
+    spark.read.parquet(s"$sfDir/documents.parquet").groupBy("lang").count().collect()
+    // listener delivery is async; poll briefly
+    var tries = 0
+    while (QueryStats.snapshot().isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+    val stats = QueryStats.snapshot()
+    assert(stats.nonEmpty)
+    assert(stats.exists(s => s.action == "collect" && s.durationNs > 0 && !s.failed))
+  }
+}
