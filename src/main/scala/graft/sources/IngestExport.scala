@@ -52,4 +52,30 @@ object IngestExport {
       ColumnShim.expression(secCol.cast("long")))
     df.select(ColumnShim.column(e).as("bin"))
   }
+
+  /** Fixed-width ingest (reference S8, FixedWidthConverters): offset/length
+    * column slicing over a text file. `cols` = (name, startOffset1Based,
+    * length, castTo). */
+  def fixedWidth(spark: SparkSession, path: String,
+                 cols: Seq[(String, Int, Int, String)]): DataFrame = {
+    val raw = spark.read.text(path)
+    raw.select(cols.map { case (name, start, len, typ) =>
+      trim(substring(col("value"), start, len)).cast(typ).as(name)
+    }: _*)
+  }
+
+  /** Time-binning of a track into a fixed number of bins (reference W4,
+    * TubeBuilder.timeBinAndUnion :126-147): ntile over the time order per
+    * tube, one aggregate row per bin with the bin's time extent and point
+    * count (callers union/buffer per bin). */
+  def binTrack(track: DataFrame, tidCol: String, lonCol: String, latCol: String,
+               secCol: String, maxBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(tidCol).orderBy(secCol)
+    track.withColumn("__bin", ntile(maxBins).over(w))
+      .groupBy(col(tidCol), col("__bin").as("bin"))
+      .agg(min(secCol).as("t_min"), max(secCol).as("t_max"),
+        count(lit(1)).as("n_points"),
+        avg(col(lonCol)).as("c_lon"), avg(col(latCol)).as("c_lat"))
+  }
 }
