@@ -33,17 +33,25 @@ object Dedup {
   def minhashPairs(df: DataFrame, textName: String, idName: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4, shingle: Int = 3,
                    threshold: Double = 0.6): DataFrame = {
-    val sig = df.select(col(idName).as("id"), col(textName).as("text"))
-      .withColumn("__bands", tx.lshBands(
-        tx.minhash(col("text"), lit(numHashes), lit(shingle)), lit(rowsPerBand)))
+    // Candidate generation shuffles ONLY (band, id) — never the text. At
+    // corpus scale the text column is KBs/row and would dominate the LSH
+    // band shuffle; ids are 8 bytes. Texts are re-joined just for the
+    // (typically tiny) surviving candidate-pair set.
+    val sig = df.select(col(idName).as("id"),
+        tx.lshBands(tx.minhash(col(textName), lit(numHashes), lit(shingle)),
+          lit(rowsPerBand)).as("__bands"))
       .withColumn("band", explode(col("__bands")))
-      .select(col("id"), col("text"), col("band"))
-    val a = sig.select(col("band"), col("id").as("id_a"), col("text").as("text_a"))
-    val b = sig.select(col("band"), col("id").as("id_b"), col("text").as("text_b"))
-    a.join(b, Seq("band"))
+      .select(col("id"), col("band"))
+    val a = sig.select(col("band"), col("id").as("id_a"))
+    val b = sig.select(col("band"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val texts = df.select(col(idName).as("__tid"), col(textName).as("__text"))
+    candidates
+      .join(texts, col("id_a") === col("__tid")).withColumnRenamed("__text", "text_a").drop("__tid")
+      .join(texts, col("id_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
       .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

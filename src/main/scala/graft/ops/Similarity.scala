@@ -72,12 +72,19 @@ object Similarity {
    *  survives. Lower `bits` = higher recall, bigger buckets. */
   def nearDupPairs(df: DataFrame, vecName: String, idName: String,
                    threshold: Double, bits: Int, dim: Int): DataFrame = {
-    val keyed = df.select(col(idName).as("id"), col(vecName).as("vec"))
-      .withColumn("__key", lshKey(col("vec"), bits, dim))
-    val a = keyed.select(col("__key"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = keyed.select(col("__key"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("__key"))
+    // bucket join carries ids only (8B), vectors re-joined for the refine
+    // (same shuffle-the-key-not-the-payload shape as Dedup.minhashPairs)
+    val keyed = df.select(col(idName).as("id"),
+      lshKey(col(vecName), bits, dim).as("__key"))
+    val a = keyed.select(col("__key"), col("id").as("id_a"))
+    val b = keyed.select(col("__key"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("__key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val vecs = df.select(col(idName).as("__vid"), col(vecName).as("__vec"))
+    candidates
+      .join(vecs, col("id_a") === col("__vid")).withColumnRenamed("__vec", "vec_a").drop("__vid")
+      .join(vecs, col("id_b") === col("__vid")).withColumnRenamed("__vec", "vec_b").drop("__vid")
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -82,4 +82,35 @@ class IngestExportSpec extends SparkSpec {
     assert(x0 <= ext.getDouble(0) && y0 <= ext.getDouble(1))
     assert(x1 >= ext.getDouble(2) && y1 >= ext.getDouble(3))
   }
+
+  test("fixed-width ingest slices and casts columns (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "rows.txt"),
+      "001  -75.5 40.2\n002   10.0 50.0\n")
+    val got = IngestExport.fixedWidth(spark, dir, Seq(
+        ("id", 1, 3, "long"), ("lon", 4, 7, "double"), ("lat", 11, 5, "double")))
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(got(0).getDouble(1) === -75.5 && got(0).getDouble(2) === 40.2)
+  }
+
+  test("binTrack: ntile bins per tube with extents and counts (W4)") {
+    val track = WebPages.track(spark, sfDir)
+    val bins = IngestExport.binTrack(track, "tid", "t_lon", "t_lat", "t_sec", maxBins = 4)
+      .collect()
+    val perTube = bins.groupBy(_.get(0))
+    perTube.foreach { case (_, rs) =>
+      assert(rs.length <= 4)
+      rs.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(3)) // t_min <= t_max
+        assert(r.getLong(4) > 0)
+      }
+      // bins are time-ordered and non-overlapping per tube
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x.getLong(3) <= y.getLong(2))
+        case _ =>
+      }
+    }
+  }
 }
