@@ -59,6 +59,14 @@ object SparkEntry {
       SpatialJoin.knnPlanar(ctrs, "clon", "clat", pts, "lon", "lat", "doc_id", 5)
         .select("n_nationkey", "doc_id", "rank").orderBy("n_nationkey", "rank")
     }),
+    "q_knn_ring" -> ((s, dir) => {
+      // the scalable ring-join kNN — must match the same oracle as q_knn
+      val ctrs = nationCenters(s, dir).select("n_nationkey", "clon", "clat")
+      val pts = pages(s, dir).select("doc_id", "lon", "lat")
+      SpatialJoin.knnJoin(ctrs, "n_nationkey", "clon", "clat",
+          pts, "lon", "lat", "doc_id", 5, res = 6)
+        .select("n_nationkey", "doc_id", "rank").orderBy("n_nationkey", "rank")
+    }),
     "q_bbox_filter" -> ((s, dir) => {
       val box = st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0))
       pages(s, dir).filter(st.contains(box, col("geom")))
@@ -257,6 +265,16 @@ object SparkEntry {
          |ON (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat) < 4e0
          |ORDER BY c.n_nationkey, p.doc_id""".stripMargin,
     "q_knn" ->
+      s"""WITH $CTE_PAGES, $CTE_CTRS,
+         |d AS (SELECT c.n_nationkey, p.doc_id,
+         |  (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat) AS dist2
+         |  FROM ctrs c CROSS JOIN pages p)
+         |SELECT n_nationkey, doc_id, rank FROM (
+         |  SELECT n_nationkey, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY dist2 ASC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM d) WHERE rank <= 5
+         |ORDER BY n_nationkey, rank""".stripMargin,
+    "q_knn_ring" ->
       s"""WITH $CTE_PAGES, $CTE_CTRS,
          |d AS (SELECT c.n_nationkey, p.doc_id,
          |  (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat) AS dist2

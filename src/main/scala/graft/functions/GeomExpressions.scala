@@ -414,3 +414,29 @@ case class Xz2QueryCover(left: Expression, right: Expression) extends BinaryExpr
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${RT.C}.xz2QueryCover($g, $r))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** geohash_encode(lon, lat, chars) → base-32 geohash string (reference key
+  * alphabet; GeoHash.scala:141-230). */
+case class GeohashEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(lon: Any, lat: Any, c: Any): Any =
+    UTF8String.fromString(graft.index.GeoHashStr.encode(
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double], c.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, c) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.index.GeoHashStr.encode($lon, $lat, $c))")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** geohash_box(hash) → WKB box of the geohash cell. */
+case class GeohashBox(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(h: Any): Any =
+    GeomRT.geohashBoxWkb(h.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"${RT.C}.geohashBoxWkb($h.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

@@ -167,4 +167,10 @@ object GeomRT {
     val env = GeomCodec.fromWkb(b).getEnvelopeInternal
     graft.index.XZ2.queryCover(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, maxRes)
   }
+
+  /** WKB box of a base-32 geohash cell. */
+  def geohashBoxWkb(hash: String): Array[Byte] = {
+    val (x0, y0, x1, y1) = graft.index.GeoHashStr.decodeBounds(hash)
+    makeBox(x0, y0, x1, y1)
+  }
 }

@@ -64,6 +64,9 @@ object st {
   def timeBin(epochSec: Column, periodSec: Column): Column = col(TimeBin(ex(epochSec), ex(periodSec)))
   def xz2(g: Column, maxRes: Column): Column = col(Xz2Encode(ex(g), ex(maxRes)))
   def xz2QueryCover(g: Column, maxRes: Column): Column = col(Xz2QueryCover(ex(g), ex(maxRes)))
+  def geohashEncode(lon: Column, lat: Column, chars: Column): Column =
+    col(GeohashEncode(ex(lon), ex(lat), ex(chars)))
+  def geohashBox(h: Column): Column = col(GeohashBox(ex(h)))
 
   /** Register every st_* / cell_* function for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -119,5 +122,7 @@ object st {
     f2("time_bin", TimeBin)
     f2("xz2_encode", Xz2Encode)
     f2("xz2_query_cover", Xz2QueryCover)
+    f3("geohash_encode", GeohashEncode)
+    f1("geohash_box", GeohashBox)
   }
 }

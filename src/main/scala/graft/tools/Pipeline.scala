@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.layout.CellLayout
+import graft.ops.SpatialJoin
+import graft.pages.WebPages
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end pipeline demonstration (north rule shape): geoparse →
+ * cell-keyed checkpointed write (with manifest lineage/metrics) → pruned
+ * read → spatial join on the pruned table. Prints per-stage metrics.
+ *
+ * Run: `sbt "runMain graft.tools.Pipeline [sfDir] [outDir]"`.
+ */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pipeline").toString)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+
+    // stage 1: geoparse (pure projection — text byte-identical)
+    val pages = WebPages.pages(spark, sfDir)
+      .select("doc_id", "url", "text", "lang", "lon", "lat", "sec")
+
+    // stage 2: cell-keyed checkpointed write (resumable; manifest metrics)
+    val keyed = CellLayout.withCellKeys(pages, col("lon"), col("lat"), col("doc_id"))
+    val manifest = CellLayout.write(keyed, outDir, inputPath = sfDir)
+    println(s"PIPELINE_BUCKETS=${manifest.size}")
+    println(s"PIPELINE_ROWS=${CellLayout.countEstimate(outDir)}")
+    println(s"PIPELINE_BYTES=${manifest.values.map(_.bytes).sum}")
+
+    // stage 3: pruned read — only buckets covering the query window
+    val window = (-180.0, -85.0, 0.0, 85.0) // western hemisphere
+    val pruned = CellLayout.read(spark, outDir, Some(window))
+    println(s"PIPELINE_PRUNED_ROWS=${pruned.count()} (of ${CellLayout.countEstimate(outDir)})")
+
+    // stage 4: spatial join over the pruned cell table
+    val regions = WebPages.regions(spark, sfDir).select("region_id", "region_geom")
+    val joined = SpatialJoin.containsJoin(
+      regions, "region_geom",
+      pruned.withColumn("geom", graft.functions.st.point(col("lon"), col("lat")))
+        .select("doc_id", "geom"),
+      "geom")
+    println(s"PIPELINE_JOIN_PAIRS=${joined.count()}")
+
+    // resume proof: a second write invocation is a no-op
+    val again = CellLayout.write(keyed, outDir, inputPath = sfDir)
+    println(s"PIPELINE_RESUME_NOOP=${again == manifest}")
+    spark.stop()
+  }
+}

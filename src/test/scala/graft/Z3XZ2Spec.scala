@@ -92,4 +92,24 @@ class Z3XZ2Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("geohash strings: public test vectors + round-trip + Z2 cell agreement") {
+    import graft.index.GeoHashStr
+    // canonical public vectors (Niemeyer geohash)
+    assert(GeoHashStr.encode(-5.6, 42.6, 5) === "ezs42")
+    assert(GeoHashStr.encode(10.40744, 57.64911, 11) === "u4pruydqqvj")
+    val (clon, clat) = GeoHashStr.decodeCenter("ezs42")
+    assert(math.abs(clon - (-5.6)) < 0.03 && math.abs(clat - 42.6) < 0.03)
+    // round-trip: any point decodes into a cell containing it
+    val rnd2 = new scala.util.Random(5)
+    (0 until 300).foreach { _ =>
+      val lon = rnd2.nextDouble() * 360 - 180
+      val lat = rnd2.nextDouble() * 180 - 90
+      val h = GeoHashStr.encode(lon, lat, 8)
+      val (x0, y0, x1, y1) = GeoHashStr.decodeBounds(h)
+      assert(lon >= x0 && lon <= x1 && lat >= y0 && lat <= y1)
+      // prefix property: coarser hash is a prefix (hierarchy like Z2 parents)
+      assert(h.startsWith(GeoHashStr.encode(lon, lat, 4)))
+    }
+  }
 }
