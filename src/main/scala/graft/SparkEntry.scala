@@ -64,7 +64,7 @@ object SparkEntry {
       val ctrs = nationCenters(s, dir).select("n_nationkey", "clon", "clat")
       val pts = pages(s, dir).select("doc_id", "lon", "lat")
       SpatialJoin.knnJoin(ctrs, "n_nationkey", "clon", "clat",
-          pts, "lon", "lat", "doc_id", 5, res = 6)
+          pts, "lon", "lat", "doc_id", 5, res = 4)
         .select("n_nationkey", "doc_id", "rank").orderBy("n_nationkey", "rank")
     }),
     "q_bbox_filter" -> ((s, dir) => {

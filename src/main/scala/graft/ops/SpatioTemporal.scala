@@ -55,12 +55,21 @@ object SpatioTemporal {
       .withColumn("__cell", st.z2Encode(col(lonName), col(latName), lit(res)))
       .withColumn("__bin", st.timeBin(col(secName), lit(periodSec)))
 
-    val doBroadcast = broadcastTrack.getOrElse {
-      // plan-stats estimate (no job): ~30x explode (cells × bins)
-      track.queryExecution.optimizedPlan.stats.sizeInBytes * 30 <=
-        BigInt(256L * 1024 * 1024)
+    // broadcast the SMALLER exploded side (plan-stats estimate, no job):
+    // track explodes ~30x (cells × bins), data adds two long columns
+    val limit = BigInt(256L * 1024 * 1024)
+    val trackEst = track.queryExecution.optimizedPlan.stats.sizeInBytes * 30
+    val dataEst = data.queryExecution.optimizedPlan.stats.sizeInBytes
+    val joined = broadcastTrack match {
+      case Some(true) => d.join(broadcast(t), Seq("__cell", "__bin"), "inner")
+      case Some(false) => d.join(t, Seq("__cell", "__bin"), "inner")
+      case None =>
+        if (trackEst <= dataEst && trackEst <= limit)
+          d.join(broadcast(t), Seq("__cell", "__bin"), "inner")
+        else if (dataEst < trackEst && dataEst <= limit)
+          broadcast(d).join(t, Seq("__cell", "__bin"), "inner")
+        else d.join(t, Seq("__cell", "__bin"), "inner")
     }
-    val joined = d.join(if (doBroadcast) broadcast(t) else t, Seq("__cell", "__bin"), "inner")
     val dx = joined(lonName) - joined(tlonName)
     val dy = joined(latName) - joined(tlatName)
     joined
