@@ -48,6 +48,15 @@ object CellLayout {
       .withColumn("bucket", st.cellParent(col("cell"), lit(BucketRes)))
       .withColumn("salt", pmod(hash(idCol), lit(salts)))
 
+  /** Space × time keys: adds a `day` partition column from epoch seconds —
+    * the full reference key shape (shard ~ geohash ~ yyyyMMddHH tier,
+    * AccumuloDataStore.scala:100-111; date planning QueryPlanners.scala:
+    * 426-496 maps to partition pruning on `day`). */
+  def withSpaceTimeKeys(df: DataFrame, lon: Column, lat: Column, epochSec: Column,
+                        idCol: Column, salts: Int = 8): DataFrame =
+    withCellKeys(df, lon, lat, idCol, salts)
+      .withColumn("day", (epochSec / lit(86400L)).cast("long"))
+
   // ---- manifest I/O (tiny hand-rolled JSON; no extra deps) ----
 
   private def manifestPath(outDir: String) = Paths.get(outDir, "_graft_manifest.json")
@@ -107,7 +116,8 @@ object CellLayout {
         // `salts` tasks, rows arrive sorted for row-group min/max locality
         .repartitionByRange(col("bucket"), col("salt"), col("cell"))
         .sortWithinPartitions("bucket", "salt", "cell")
-      wave.write.mode("append").partitionBy("bucket").parquet(outDir)
+      val partCols = if (df.columns.contains("day")) Seq("day", "bucket") else Seq("bucket")
+      wave.write.mode("append").partitionBy(partCols: _*).parquet(outDir)
       val wallMs = (System.nanoTime() - t0) / 1000000
 
       // per-bucket metrics from the written files (lineage: input → bucket)
@@ -118,9 +128,11 @@ object CellLayout {
         .groupBy("bucket").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       bs.foreach { b =>
-        val dir = Paths.get(outDir, s"bucket=$b")
-        val files = if (Files.exists(dir)) Files.list(dir).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")) else Array.empty[String]
+        // bucket dirs may nest under day=… partitions — walk for them
+        val walk = Files.walk(Paths.get(outDir))
+        val files = try walk.toArray.map(_.toString)
+          .filter(p => p.contains(s"bucket=$b/") && p.endsWith(".parquet"))
+        finally walk.close()
         val bytes = files.map(f => Files.size(Paths.get(f))).sum
         manifest += b -> BucketMeta(b, counts.getOrElse(b, 0L), bytes, files.length,
           w, inputPath, wallMs)
@@ -133,8 +145,14 @@ object CellLayout {
   /** Read a cell table back; `queryBox` prunes directory partitions via the
     * coarse bucket cover (partition pruning ≙ Accumulo ranges). */
   def read(spark: SparkSession, outDir: String,
-           queryBox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
-    val df = spark.read.parquet(outDir)
+           queryBox: Option[(Double, Double, Double, Double)] = None,
+           dayRange: Option[(Long, Long)] = None): DataFrame = {
+    val df0 = spark.read.parquet(outDir)
+    val df = dayRange match {
+      case Some((d0, d1)) if df0.columns.contains("day") =>
+        df0.filter(col("day") >= d0 && col("day") <= d1)
+      case _ => df0
+    }
     val pruned = queryBox match {
       case Some((x0, y0, x1, y1)) =>
         // filter the RAW partition column (int-typed from dir inference) so

@@ -102,7 +102,7 @@ object SpatialRules {
   }
 
   /** All graft optimizer rules, in application order. */
-  val all: Seq[Rule[LogicalPlan]] = Seq(WholeWorldElision, SpatialFilterPushdown)
+  val all: Seq[Rule[LogicalPlan]] = Seq(WholeWorldElision, SpatialFilterPushdown, SpatialJoinRewrite)
 }
 
 /**

@@ -60,4 +60,23 @@ class CellLayoutSpec extends SparkSpec {
     assert(pruned.filter(col("lon") > -80 && col("lon") < -70 &&
       col("lat") > 35 && col("lat") < 45).count() === exact)
   }
+
+  test("space-time layout: day + bucket partitions both prune (reference date tier)") {
+    val out = freshDir()
+    val keyed = CellLayout.withSpaceTimeKeys(
+      WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat", "sec"),
+      col("lon"), col("lat"), col("sec"), col("doc_id"))
+    CellLayout.write(keyed, out, sfDir)
+    val pruned = CellLayout.read(spark, out, Some((-80.0, 35.0, -70.0, 45.0)), Some((3L, 10L)))
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: ["), plan.takeRight(400))
+    assert(plan.contains("day") && plan.contains("bucket"), plan.takeRight(600))
+    val exact = keyed.filter(col("lon") > -80 && col("lon") < -70 &&
+      col("lat") > 35 && col("lat") < 45 && col("day") >= 3 && col("day") <= 10)
+    assert(pruned.filter(col("lon") > -80 && col("lon") < -70 &&
+      col("lat") > 35 && col("lat") < 45).count() === exact.count())
+    // manifest totals still correct with nested partitions
+    assert(CellLayout.countEstimate(out) === keyed.count())
+    assert(CellLayout.readManifest(out).values.forall(m => m.bytes > 0 && m.files > 0))
+  }
 }

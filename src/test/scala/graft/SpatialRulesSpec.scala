@@ -80,4 +80,53 @@ class SpatialRulesSpec extends SparkSpec {
       assert(df.count() === spark.read.parquet(lonLatTable).count())
     }
   }
+
+  test("SpatialJoinRewrite: SQL theta spatial join becomes a cell equi-join, results identical") {
+    installed {
+      graft.functions.st.register(spark)
+      spark.read.parquet(lonLatTable).createOrReplaceTempView("pts")
+      graft.pages.WebPages.regions(spark, sfDir)
+        .select("region_id", "region_geom").createOrReplaceTempView("regs")
+      val q = spark.sql(
+        """SELECT r.region_id, p.doc_id FROM regs r JOIN pts p
+          |ON st_contains(r.region_geom, st_point(p.lon, p.lat))""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"spatial join not rewritten:\n${plan.take(1200)}")
+      assert(plan.contains("HashJoin"), plan.take(800))
+      val got = q.collect().map(r => (r.get(0) match {
+        case l: java.lang.Long => l.longValue(); case n: java.lang.Number => n.longValue()
+      }, r.getLong(1))).toSet
+      // oracle: the library cell join (itself proven vs brute force)
+      val expect = graft.ops.SpatialJoin.containsJoin(
+          graft.pages.WebPages.regions(spark, sfDir).select("region_id", "region_geom"),
+          "region_geom",
+          spark.read.parquet(lonLatTable)
+            .withColumn("geom", graft.functions.st.point(col("lon"), col("lat")))
+            .select("doc_id", "geom"),
+          "geom")
+        .select("region_id", "doc_id").collect().map(r => (r.get(0) match {
+          case l: java.lang.Long => l.longValue(); case n: java.lang.Number => n.longValue()
+        }, r.getLong(1))).toSet
+      assert(got === expect)
+    }
+  }
+
+  test("SpatialJoinRewrite: non-point probes and existing equi-joins untouched") {
+    installed {
+      // geometry-column probe (not a constructed point): stays a loop join
+      val nb = graft.pages.WebPages.nationBoxes(spark, sfDir).select("n_nationkey", "nation_geom")
+      val rg = graft.pages.WebPages.regions(spark, sfDir).select("region_id", "region_geom")
+      nb.createOrReplaceTempView("nb"); rg.createOrReplaceTempView("rg")
+      val theta = spark.sql(
+        "SELECT n_nationkey, region_id FROM nb JOIN rg ON st_intersects(nation_geom, region_geom)")
+      val plan = theta.queryExecution.optimizedPlan.toString()
+      assert(!plan.contains("__graft_"), plan.take(800))
+      // equi-join with a residual spatial predicate: not rewritten either
+      val equi = spark.sql(
+        """SELECT n_nationkey, region_id FROM nb JOIN rg
+          |ON n_nationkey = region_id AND st_intersects(nation_geom, region_geom)""".stripMargin)
+      assert(!equi.queryExecution.optimizedPlan.toString().contains("__graft_"))
+    }
+  }
 }
