@@ -77,4 +77,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /**
+   * Near-duplicate clusters from a candidate-pair table: connected
+   * components by iterative min-label propagation (each round every vertex
+   * takes the min label in its neighborhood; converges in O(diameter)
+   * rounds — near-dup components are shallow in practice). Returns
+   * (id, cluster) with cluster = min id of the component. Distributed:
+   * each round is one equi-join + aggregate; lineage is truncated with
+   * localCheckpoint to keep plans bounded.
+   */
+  def clusters(pairs: DataFrame, idAName: String, idBName: String,
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idAName).as("src"), col(idBName).as("dst"))
+      .union(pairs.select(col(idBName).as("src"), col(idAName).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid")).agg(min("label").as("nlabel"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Rows surviving near-dup clustering: the min-id representative of each
+    * component plus every row that appears in no candidate pair. */
+  def nearDupSurvivors(df: DataFrame, idName: String, pairs: DataFrame,
+                       idAName: String, idBName: String): DataFrame = {
+    val cl = clusters(pairs, idAName, idBName)
+    val losers = cl.filter(col("id") =!= col("cluster")).select(col("id").as("__loser"))
+    df.join(losers, df(idName) === col("__loser"), "left_anti")
+  }
 }

@@ -44,7 +44,8 @@ object SpatialJoin {
       levels: Array[Int] = DefaultLevels,
       budget: Int = DefaultBudget,
       broadcastPolys: Option[Boolean] = None,
-      salts: Int = 1): DataFrame = {
+      salts: Int = 1,
+      knownHotCells: Option[Array[Long]] = None): DataFrame = {
 
     val levelsLit = typedLit(levels)
     val polyCells = polys.withColumn("__pcell",
@@ -91,7 +92,10 @@ object SpatialJoin {
       // layout, AccumuloDataStore.scala:100-111). Hot cells from a probe-
       // side sample histogram; the build row for a hot cell is replicated
       // across all salts, probe rows scatter by content hash.
-      val hot = hotCells(pointCells, col("__qcell"), salts)
+      // production path: hot cells come from table statistics (the cell
+      // histogram the CellLayout manifest maintains); the sampling job is
+      // the fallback for ad-hoc inputs
+      val hot = knownHotCells.getOrElse(hotCells(pointCells, col("__qcell"), salts))
       val hotLit = typedLit(hot.toSeq)
       val saltedBuild = polyCells.withColumn("__psalt",
         explode(when(array_contains(hotLit, col("__pcell")),

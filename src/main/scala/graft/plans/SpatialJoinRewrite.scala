@@ -37,6 +37,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     case StIntersects(g, StPoint(x, y)) => Some((g, x, y))
     case StIntersects(StPoint(x, y), g) => Some((g, x, y))
     case StWithin(StPoint(x, y), g) => Some((g, x, y))
+    // point-point distance join: the "cover geometry" is the ±r box around
+    // one point (the DWithin→buffered-box rewrite, FilterHelper.scala:111-123)
+    // optimizer-stage rewrite gets no type coercion: require double radius
+    case StDWithinDeg(StPoint(ax, ay), StPoint(bx, by), r)
+        if r.foldable && r.dataType == org.apache.spark.sql.types.DoubleType =>
+      Some((StMakeBox(Seq(
+        Subtract(ax, r), Subtract(ay, r), Add(ax, r), Add(ay, r))), bx, by))
     case _ => None
   }
 

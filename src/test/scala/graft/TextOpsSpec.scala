@@ -114,4 +114,18 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(2) === 2)
     assert(r.getDouble(3) === 1.0)
   }
+
+  test("near-dup clustering: connected components + survivors") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val docs = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.nearDupSurvivors(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // representatives + untouched rows
+    assert(kept === ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L)))
+  }
 }
