@@ -44,7 +44,7 @@ object SpatialJoin {
       levels: Array[Int] = DefaultLevels,
       budget: Int = DefaultBudget,
       broadcastPolys: Option[Boolean] = None,
-      salts: Int = 1,
+      salts: Int = 8,
       knownHotCells: Option[Array[Long]] = None): DataFrame = {
 
     val levelsLit = typedLit(levels)
