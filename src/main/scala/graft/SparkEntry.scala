@@ -239,6 +239,20 @@ object SparkEntry {
           "embedding", "vec_id", threshold = 0.85, bits = 4, dim = 64)
         .agg(count(lit(1)).as("n_near_dup_pairs"))
     }),
+    "q_tube_line" -> ((s, dir) => {
+      SpatioTemporal.tubeSelectLine(
+          track(s, dir), "tid", "t_lon", "t_lat", "t_sec",
+          pages(s, dir).select("doc_id", "lon", "lat", "sec"),
+          "doc_id", "lon", "lat", "sec",
+          bufferDeg = 2.0, tolSec = 172800L, waypoints = 4)
+        .orderBy("tid", "doc_id")
+    }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+      Dedup.clusters(pairs, "id_a", "id_b")
+        .agg(count(lit(1)).as("n_clustered_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         "embedding", "vec_id", annQueryVec, 10)
