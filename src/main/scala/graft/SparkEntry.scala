@@ -28,6 +28,19 @@ object SparkEntry {
   private val CTE_CTRS =
     s"ctrs AS (SELECT n_nationkey, $N_CLON AS clon, $N_CLAT AS clat FROM nation)"
 
+  /** Deterministic connected-components edge set (chains with hash gaps
+    * inside blocks of 10 doc_ids) — shared verbatim with the DuckDB
+    * recursive-CTE oracle so `Dedup.clusters` is driver-graded. */
+  private val EDGE_WHERE =
+    "(doc_id % 10) < 9 AND ((doc_id * 1103515245 + 12345) % 97) < 40"
+
+  /** Haversine meters between (lon1,lat1) and (lon2,lat2) — the DuckDB side
+    * of Geodesy.haversineMeters (same formula, same mean radius). */
+  private def HAV(lon1: String, lat1: String, lon2: String, lat2: String): String =
+    s"2e0 * 63710088e-1 * asin(least(1e0, sqrt(" +
+      s"pow(sin(radians($lat2 - $lat1) / 2e0), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2e0), 2))))"
+
   /** Flagship: point-in-polygon cell-cover join on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_st_contains_join")(spark, "/root/testdata/sf0.001")
@@ -165,8 +178,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_near_dup_pairs"))
     }),
     "q_ann_cosine" -> ((s, dir) => {
+      // id-only projection: the ranking (not the float cosine value) is the
+      // oracle-checked contract — trig/summation ulp differences between
+      // engines cannot flip integer ids unless two cosines tie to ~1e-13
       Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"),
-        "embedding", "vec_id", annQueryVec, 10)
+        "embedding", "vec_id", annQueryVec, 10).select("vec_id")
     }),
     "q_ann_lsh" -> ((s, dir) => {
       Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -193,9 +209,16 @@ object SparkEntry {
         .select("n_nationkey", "region_id").orderBy("n_nationkey", "region_id")
     }),
     "q_map_agg" -> ((s, dir) => {
+      // genuine MapType aggregation (reference MapAggregatingIterator.scala:
+      // 40-90 sums Map[K,Long] attributes across rows): build a real
+      // map<string,bigint> column from the row, explode, sum per (group, key)
       s.read.parquet(s"$dir/events.parquet")
-        .select(explode(map(col("event_type"), lit(1L))).as(Seq("key", "v")))
-        .groupBy("key").agg(sum("v").as("total")).orderBy("key")
+        .withColumn("m", map(
+          lit("k"), expr("CAST(substr(props, 7, length(props) - 7) AS BIGINT)"),
+          lit("v100"), expr("CAST(floor(value * 1e2) AS BIGINT)")))
+        .select(col("event_type"), explode(col("m")).as(Seq("key", "val")))
+        .groupBy("event_type", "key").agg(sum("val").as("total"))
+        .orderBy("event_type", "key")
     }),
     "q_surface_tile" -> ((s, dir) => {
       Density.surface(pages(s, dir), col("lon"), col("lat"),
@@ -248,10 +271,14 @@ object SparkEntry {
         .orderBy("tid", "doc_id")
     }),
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
-      Dedup.clusters(pairs, "id_a", "id_b")
-        .agg(count(lit(1)).as("n_clustered_docs"),
-          countDistinct(col("cluster")).as("n_clusters"))
+      // connected components over a deterministic SQL-expressible edge set:
+      // the full (id, cluster) assignment is oracle-checked against a DuckDB
+      // recursive CTE (the minhash-pair integration is covered by
+      // q_dedup_minhash + the Jaccard-verified TextOpsSpec)
+      val edges = s.read.parquet(s"$dir/documents.parquet")
+        .where(expr(EDGE_WHERE))
+        .selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b")
+      Dedup.clusters(edges, "id_a", "id_b").orderBy("id")
     }),
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -359,8 +386,11 @@ object SparkEntry {
          |ON NOT (n.xmax < r.xmin OR r.xmax < n.xmin OR n.ymax < r.ymin OR r.ymax < n.ymin)
          |ORDER BY n.n_nationkey, r.region_id""".stripMargin,
     "q_map_agg" ->
-      """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS total
-        |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+      """SELECT event_type, key, CAST(SUM(val) AS BIGINT) AS total FROM (
+        |  SELECT event_type, 'k' AS key, CAST(substr(props, 7, length(props) - 7) AS BIGINT) AS val FROM events
+        |  UNION ALL
+        |  SELECT event_type, 'v100' AS key, CAST(FLOOR(value * 1e2) AS BIGINT) AS val FROM events)
+        |GROUP BY 1, 2 ORDER BY event_type, key""".stripMargin,
     "q_surface_tile" ->
       s"""WITH $CTE_PAGES
          |SELECT CAST(FLOOR((lon - (-180e0)) / 360e0 * 32) AS BIGINT) AS cell_x,
@@ -388,6 +418,52 @@ object SparkEntry {
       s"""WITH $CTE_PAGES
          |SELECT doc_id, lang, lon, lat FROM pages
          |WHERE doc_id IN (3, 17, 42, 99, 123, 250, 444)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q_proximity_meters" ->
+      s"""WITH $CTE_PAGES, $CTE_CTRS
+         |SELECT c.n_nationkey, p.doc_id FROM pages p JOIN ctrs c
+         |ON ${HAV("c.clon", "c.clat", "p.lon", "p.lat")} < 250000e0
+         |ORDER BY c.n_nationkey, p.doc_id""".stripMargin,
+    "q_tube_line" ->
+      s"""WITH $CTE_PAGES, $CTE_TRACK,
+         |seg AS (SELECT tid, t_lon, t_lat, t_sec,
+         |  lead(t_lon) OVER w AS nlon, lead(t_lat) OVER w AS nlat, lead(t_sec) OVER w AS nsec
+         |  FROM track WINDOW w AS (PARTITION BY tid ORDER BY t_sec)),
+         |dens AS (SELECT tid,
+         |  CASE WHEN nlon IS NOT NULL THEN t_lon + (nlon - t_lon) * i / 4 ELSE t_lon END AS t_lon,
+         |  CASE WHEN nlat IS NOT NULL THEN t_lat + (nlat - t_lat) * i / 4 ELSE t_lat END AS t_lat,
+         |  CASE WHEN nsec IS NOT NULL THEN t_sec + CAST(FLOOR((nsec - t_sec) * i / 4) AS BIGINT) ELSE t_sec END AS t_sec
+         |  FROM seg CROSS JOIN generate_series(0, 3) g(i) WHERE i = 0 OR nlon IS NOT NULL)
+         |SELECT DISTINCT t.tid, p.doc_id FROM dens t JOIN pages p
+         |ON (p.lon - t.t_lon) * (p.lon - t.t_lon) + (p.lat - t.t_lat) * (p.lat - t.t_lat) < 4e0
+         |AND abs(p.sec - t.t_sec) <= 172800
+         |ORDER BY t.tid, p.doc_id""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE $EDGE_WHERE),
+         |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |nodes AS (SELECT DISTINCT src AS id FROM bi),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT b.dst, reach.r FROM reach JOIN bi b ON b.src = reach.id)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_cell_cover" ->
+      s"""WITH $CTE_PAGES,
+         |xy AS (SELECT doc_id,
+         |  LEAST(255, GREATEST(0, CAST(FLOOR((lon + 180e0) / 360e0 * 256) AS BIGINT))) AS x,
+         |  LEAST(255, GREATEST(0, CAST(FLOOR((lat + 90e0) / 180e0 * 256) AS BIGINT))) AS y FROM pages),
+         |s1 AS (SELECT doc_id, (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y FROM xy),
+         |s2 AS (SELECT doc_id, (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y FROM s1),
+         |s3 AS (SELECT doc_id, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
+         |s4 AS (SELECT doc_id, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3)
+         |SELECT doc_id, ((x | (y << 1)) << 5) | 8 AS cell FROM s4 ORDER BY doc_id, cell""".stripMargin,
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT list_transform(range(0, 64), i -> CAST((((i * 37) % 19) - 9) / 1e1 AS FLOAT)) AS qv),
+        |d AS (SELECT vec_id,
+        |  list_sum(list_transform(range(0, 64), i -> CAST(CAST(embedding[i + 1] * qv[i + 1] AS FLOAT) AS DOUBLE))) /
+        |  sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS s
+        |  FROM embeddings, q)
+        |SELECT vec_id FROM d ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 }

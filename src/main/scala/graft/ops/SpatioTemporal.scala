@@ -172,8 +172,11 @@ object SpatioTemporal {
         (when(col("__nlat").isNotNull,
             col(tlatName) + (col("__nlat") - col(tlatName)) * col("__i") / waypoints)
           .otherwise(col(tlatName))).as(tlatName),
+        // floor() the fractional part rather than casting the sum: CAST of a
+        // double rounds in some engines (DuckDB) but truncates in Spark;
+        // floor is unambiguous, so the DuckDB oracle reproduces it exactly
         (when(col("__nsec").isNotNull,
-            (col(tsecName) + (col("__nsec") - col(tsecName)) * col("__i") / waypoints).cast("long"))
+            col(tsecName) + floor((col("__nsec") - col(tsecName)) * col("__i") / waypoints).cast("long"))
           .otherwise(col(tsecName))).as(tsecName))
     tubeSelect(densified, tidName, tlonName, tlatName, tsecName,
       data, idName, lonName, latName, secName, bufferDeg, tolSec, broadcastTrack)
