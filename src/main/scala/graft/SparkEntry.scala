@@ -90,6 +90,14 @@ object SparkEntry {
           -180.0, -85.0, 180.0, 85.0, 64, 32)
         .orderBy("cell_x", "cell_y")
     }),
+    "q_density_polys" -> ((s, dir) => {
+      // non-point density: region POLYGONS rasterized to the cells whose
+      // center they contain (reference DensityIterator polygon path);
+      // count per cell = number of covering regions
+      Density.gridGeom(regions(s, dir).select("region_id", "region_geom"),
+          col("region_geom"), -180.0, -85.0, 180.0, 85.0, 64, 32)
+        .orderBy("cell_x", "cell_y")
+    }),
     "q_temporal_density" -> ((s, dir) => {
       Density.temporal(s.read.parquet(s"$dir/events.parquet"), col("ts"), "hour")
         .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"), col("n"))
@@ -458,6 +466,15 @@ object SparkEntry {
          |s3 AS (SELECT doc_id, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
          |s4 AS (SELECT doc_id, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3)
          |SELECT doc_id, ((x | (y << 1)) << 5) | 8 AS cell FROM s4 ORDER BY doc_id, cell""".stripMargin,
+    "q_density_polys" ->
+      s"""WITH $CTE_REGIONS
+         |SELECT cx AS cell_x, cy AS cell_y, COUNT(*) AS n
+         |FROM regions r, generate_series(0, 63) gx(cx), generate_series(0, 31) gy(cy)
+         |WHERE (-180e0 + (cx + 5e-1) * ((180e0 - (-180e0)) / 64)) > r.xmin
+         |  AND (-180e0 + (cx + 5e-1) * ((180e0 - (-180e0)) / 64)) < r.xmax
+         |  AND (-85e0 + (cy + 5e-1) * ((85e0 - (-85e0)) / 32)) > r.ymin
+         |  AND (-85e0 + (cy + 5e-1) * ((85e0 - (-85e0)) / 32)) < r.ymax
+         |GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
     "q_ann_cosine" ->
       """WITH q AS (SELECT list_transform(range(0, 64), i -> CAST((((i * 37) % 19) - 9) / 1e1 AS FLOAT)) AS qv),
         |d AS (SELECT vec_id,

@@ -350,6 +350,41 @@ case class CellNeighbors(child: Expression) extends UnaryExpression with Seriali
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** grid_cells(geom, xmin, ymin, xmax, ymax, w, h) → array<long> of packed
+  * `cy * w + cx` raster cells the geometry covers (points snap, lines mark
+  * crossed cells, polygons mark center-inside cells) — the non-point
+  * density generator (reference DensityIterator.scala:112-127). */
+case class GridCells(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.size == 7, "grid_cells(geom, xmin, ymin, xmax, ymax, w, h)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else new GenericArrayData(GeomRT.gridCells(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double],
+      vs(5).asInstanceOf[Int], vs(6).asInstanceOf[Int]))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            ${RT.C}.gridCells(${evs(0).value}, ${evs(1).value}, ${evs(2).value},
+              ${evs(3).value}, ${evs(4).value}, ${evs(5).value}, ${evs(6).value}));
+        }""")
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
 // ---- Z3 / XZ2 index expressions ----
 
 /** z3_encode(lon, lat, epochSec, periodSec, res) → packed Z3 cell id. */

@@ -157,6 +157,106 @@ object GeomRT {
     makeBox(x0, y0, x1, y1)
   }
 
+  /**
+   * Rasterize a geometry onto a W×H grid over [xmin,xmax)×[ymin,ymax):
+   * returns packed cell ids `cy * w + cx` (reference semantics:
+   * DensityIterator.scala:112-127 — points snap, LineStrings mark every
+   * cell their segments cross, Polygons mark cells whose CENTER lies in
+   * the interior; GridSnap.scala:29-107 is the snap math). The snap
+   * formulas are bit-identical to [[graft.ops.Density]]'s column
+   * expressions so a DuckDB oracle can reproduce cell assignment exactly.
+   */
+  def gridCells(b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                w: Int, h: Int): Array[Long] = {
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val spanX = xmax - xmin
+    val spanY = ymax - ymin
+    def snapX(x: Double): Long = math.floor((x - xmin) / spanX * w).toLong
+    def snapY(y: Double): Long = math.floor((y - ymin) / spanY * h).toLong
+    def addPoint(x: Double, y: Double): Unit =
+      if (x >= xmin && x < xmax && y >= ymin && y < ymax)
+        out.add(snapY(y) * w + snapX(x))
+
+    def addSegment(x0: Double, y0: Double, x1: Double, y1: Double): Unit = {
+      // mark the cell under the midpoint of every sub-interval between
+      // consecutive grid-line crossings (robust DDA: no accumulation error)
+      val ts = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
+      if (x1 != x0) {
+        val (lo, hi) = if (x0 < x1) (x0, x1) else (x1, x0)
+        var gx = math.ceil((lo - xmin) / spanX * w).toLong
+        val gxEnd = math.floor((hi - xmin) / spanX * w).toLong
+        while (gx <= gxEnd) {
+          val xv = xmin + gx.toDouble * spanX / w
+          if (xv > lo && xv < hi) ts += (xv - x0) / (x1 - x0)
+          gx += 1
+        }
+      }
+      if (y1 != y0) {
+        val (lo, hi) = if (y0 < y1) (y0, y1) else (y1, y0)
+        var gy = math.ceil((lo - ymin) / spanY * h).toLong
+        val gyEnd = math.floor((hi - ymin) / spanY * h).toLong
+        while (gy <= gyEnd) {
+          val yv = ymin + gy.toDouble * spanY / h
+          if (yv > lo && yv < hi) ts += (yv - y0) / (y1 - y0)
+          gy += 1
+        }
+      }
+      val sorted = ts.distinct.sorted
+      var i = 0
+      while (i < sorted.length - 1) {
+        val tm = (sorted(i) + sorted(i + 1)) / 2
+        addPoint(x0 + (x1 - x0) * tm, y0 + (y1 - y0) * tm)
+        i += 1
+      }
+    }
+
+    def addLine(cs: Array[org.locationtech.jts.geom.Coordinate]): Unit = {
+      var i = 0
+      while (i < cs.length - 1) {
+        addSegment(cs(i).x, cs(i).y, cs(i + 1).x, cs(i + 1).y)
+        i += 1
+      }
+      if (cs.length == 1) addPoint(cs(0).x, cs(0).y)
+    }
+
+    def addPolygon(g: Geometry): Unit = {
+      // coverage-grid centroids: cells whose center the polygon contains
+      // (JTS contains = strict interior, matching the oracle's strict
+      // inequalities for box polygons)
+      val env = g.getEnvelopeInternal
+      val prep = PreparedGeometryFactory.prepare(g)
+      val cx0 = math.max(0L, snapX(math.max(env.getMinX, xmin)))
+      val cx1 = math.min(w - 1L, snapX(math.min(env.getMaxX, math.nextDown(xmax))))
+      val cy0 = math.max(0L, snapY(math.max(env.getMinY, ymin)))
+      val cy1 = math.min(h - 1L, snapY(math.min(env.getMaxY, math.nextDown(ymax))))
+      var cy = cy0
+      while (cy <= cy1) {
+        val yc = ymin + (cy + 0.5) * (spanY / h)
+        var cx = cx0
+        while (cx <= cx1) {
+          val xc = xmin + (cx + 0.5) * (spanX / w)
+          if (prep.contains(GeomCodec.point(xc, yc))) out.add(cy * w + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+    }
+
+    def dispatch(g: Geometry): Unit = g.getGeometryType match {
+      case "Point" | "MultiPoint" =>
+        g.getCoordinates.foreach(c => addPoint(c.x, c.y))
+      case "LineString" | "LinearRing" => addLine(g.getCoordinates)
+      case "Polygon" => addPolygon(g)
+      case _ => // MultiLineString / MultiPolygon / GeometryCollection
+        (0 until g.getNumGeometries).foreach(i => dispatch(g.getGeometryN(i)))
+    }
+    dispatch(GeomCodec.fromWkb(b))
+    val res = new Array[Long](out.size)
+    val it = out.iterator(); var i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    res
+  }
+
   // ---- XZ2 extent index ----
   def xz2(b: Array[Byte], maxRes: Int): Long = {
     val env = GeomCodec.fromWkb(b).getEnvelopeInternal

@@ -59,6 +59,9 @@ object st {
   def cellParent(c: Column, res: Column): Column = col(CellParent(ex(c), ex(res)))
   def cellBox(c: Column): Column = col(CellBox(ex(c)))
   def cellNeighbors(c: Column): Column = col(CellNeighbors(ex(c)))
+  def gridCells(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                w: Column, h: Column): Column =
+    col(GridCells(Seq(ex(g), ex(xmin), ex(ymin), ex(xmax), ex(ymax), ex(w), ex(h))))
   def z3Encode(lon: Column, lat: Column, epochSec: Column, periodSec: Column, res: Column): Column =
     col(Z3Encode(Seq(ex(lon), ex(lat), ex(epochSec), ex(periodSec), ex(res))))
   def timeBin(epochSec: Column, periodSec: Column): Column = col(TimeBin(ex(epochSec), ex(periodSec)))
@@ -118,6 +121,7 @@ object st {
     f2("cell_parent", CellParent)
     f1("cell_box", CellBox)
     f1("cell_neighbors", CellNeighbors)
+    reg.createOrReplaceTempFunction("grid_cells", es => GridCells(es), "built-in")
     reg.createOrReplaceTempFunction("z3_encode", es => Z3Encode(es), "built-in")
     f2("time_bin", TimeBin)
     f2("xz2_encode", Xz2Encode)

@@ -31,6 +31,34 @@ object Density {
         snapY(lat, ymin, ymax, h).as("cell_y"))
       .agg(count(lit(1)).as("n"))
 
+  /** Density grid over ARBITRARY geometries (points snap, lines rasterize
+   *  along their segments, polygons mark cells whose center they contain) —
+   *  the reference's full DensityIterator semantics
+   *  (DensityIterator.scala:112-127): count of covering geometries per cell.
+   *  One generator expression per row, then the same partial/final hash agg
+   *  as the point path — no join, no shuffle beyond the aggregation. */
+  def gridGeom(df: DataFrame, geom: Column,
+               xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+               w: Int, h: Int): DataFrame =
+    df.select(explode(graft.functions.st.gridCells(geom,
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(w), lit(h))).as("__gc"))
+      .groupBy(
+        pmod(col("__gc"), lit(w.toLong)).as("cell_x"),
+        floor(col("__gc") / w).cast("long").as("cell_y"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Surface tile over arbitrary geometries: max of `value` per covered
+   *  cell (non-point A8/J5 path). */
+  def surfaceGeom(df: DataFrame, geom: Column, value: Column,
+                  xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                  w: Int, h: Int): DataFrame =
+    df.select(value.as("__v"), explode(graft.functions.st.gridCells(geom,
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(w), lit(h))).as("__gc"))
+      .groupBy(
+        pmod(col("__gc"), lit(w.toLong)).as("cell_x"),
+        floor(col("__gc") / w).cast("long").as("cell_y"))
+      .agg(max(col("__v")).as("v"))
+
   /** Temporal density (reference A2, TemporalDensityIterator/TimeSnap):
    *  count per time bucket. */
   def temporal(df: DataFrame, ts: Column, bucket: String): DataFrame =
