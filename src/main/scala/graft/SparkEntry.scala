@@ -193,8 +193,10 @@ object SparkEntry {
         "embedding", "vec_id", annQueryVec, 10).select("vec_id")
     }),
     "q_ann_lsh" -> ((s, dir) => {
+      // bits sized so 2^bits ~ corpus/8 buckets at this sf; multiprobe keeps
+      // recall when the base bucket is sparse
       Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
-        "embedding", "vec_id", annQueryVec, 10, bits = 4)
+        "embedding", "vec_id", annQueryVec, 10, bits = 8, nprobe = 4)
     }),
     "q_cell_cover" -> ((s, dir) => {
       pages(s, dir)
@@ -266,8 +268,10 @@ object SparkEntry {
         .select("n_nationkey", "doc_id").orderBy("n_nationkey", "doc_id")
     }),
     "q_dedup_embedding" -> ((s, dir) => {
+      // realistic bucket count (2^12 = 4096 for ~2k-20k vectors) + multiprobe:
+      // the candidate join is bounded by bucket size, never ~all-pairs/2^bits
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-          "embedding", "vec_id", threshold = 0.85, bits = 4, dim = 64)
+          "embedding", "vec_id", threshold = 0.85, bits = 12, nprobe = 3)
         .agg(count(lit(1)).as("n_near_dup_pairs"))
     }),
     "q_tube_line" -> ((s, dir) => {

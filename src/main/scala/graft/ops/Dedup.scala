@@ -32,18 +32,32 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, textName: String, idName: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4, shingle: Int = 3,
-                   threshold: Double = 0.6): DataFrame = {
+                   threshold: Double = 0.6, maxBucket: Long = 10000L): DataFrame = {
     // Candidate generation shuffles ONLY (band, id) — never the text. At
     // corpus scale the text column is KBs/row and would dominate the LSH
     // band shuffle; ids are 8 bytes. Texts are re-joined just for the
     // (typically tiny) surviving candidate-pair set.
+    //
+    // Degenerate-bucket guards (a real web corpus is full of empty/near-
+    // empty pages, which would otherwise all share the all-MaxValue
+    // signature and meet in EVERY band — O(n²) candidates):
+    //  1. docs with fewer than `shingle` tokens have no shingle set, hence
+    //     no meaningful Jaccard — they are exact-dedup territory and are
+    //     excluded from banding entirely;
+    //  2. any band bucket larger than `maxBucket` is dropped from candidate
+    //     generation (a count pre-pass; map-side partial agg makes it one
+    //     cheap shuffle of (band, count)). Pairs in such a mega-bucket are
+    //     near-certainly co-bucketed in another, sub-cap band; the cap
+    //     bounds the worst case at maxBucket² per bucket instead of n².
     val sig = df.select(col(idName).as("id"),
-        tx.lshBands(tx.minhash(col(textName), lit(numHashes), lit(shingle)),
-          lit(rowsPerBand)).as("__bands"))
-      .withColumn("band", explode(col("__bands")))
-      .select(col("id"), col("band"))
-    val a = sig.select(col("band"), col("id").as("id_a"))
-    val b = sig.select(col("band"), col("id").as("id_b"))
+        tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
+      .filter(element_at(col("__sig"), 1) =!= lit(Long.MaxValue))
+      .select(col("id"), explode(tx.lshBands(col("__sig"), lit(rowsPerBand))).as("band"))
+    val oversized = sig.groupBy("band").count()
+      .filter(col("count") > maxBucket).select("band")
+    val pruned = sig.join(broadcast(oversized), Seq("band"), "left_anti")
+    val a = pruned.select(col("band"), col("id").as("id_a"))
+    val b = pruned.select(col("band"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -61,15 +75,23 @@ object Dedup {
    *  within hamming distance <= maxHamming shares at least one of the 4
    *  blocks by pigeonhole), verify hamming. */
   def simhashPairs(df: DataFrame, textName: String, idName: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+    // sig == 0 is the degenerate no-token signature (empty/whitespace-only
+    // pages — ubiquitous in a web corpus): excluded from banding, and any
+    // block bucket over `maxBucket` is dropped (same guard rationale as
+    // minhashPairs: bounds the self-join at maxBucket² per bucket).
     val withSig = df.select(col(idName).as("id"), tx.simhash(col(textName)).as("sig"))
+      .filter(col("sig") =!= 0L)
     val blocks = (0 until 4).map { b =>
       withSig.select(col("id"), col("sig"),
         concat(lit(b.toString), lit(":"),
           (shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))).cast("string")).as("block"))
     }.reduce(_ union _)
-    val l = blocks.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = blocks.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val oversized = blocks.groupBy("block").count()
+      .filter(col("count") > maxBucket).select("block")
+    val pruned = blocks.join(broadcast(oversized), Seq("block"), "left_anti")
+    val l = pruned.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = pruned.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.{vx, VecRT}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -8,7 +9,9 @@ import org.apache.spark.sql.functions._
  * cosine top-k is the exact baseline; the LSH-bucketed variant is the
  * scale path (candidates restricted to matching hyperplane-sign buckets,
  * then exact re-rank — same coarse-prune/exact-refine shape as the
- * spatial joins).
+ * spatial joins). Bucket keys come from the codegen'd [[graft.functions.LshKey]]
+ * expression; the SAME kernel runs driver-side for query keys, so no
+ * planning job is ever launched.
  */
 object Similarity {
 
@@ -31,56 +34,46 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-of-projection LSH bucket key: bit i = sign of dot(vec, h_i)
-   *  where h_i is a deterministic ±1 hyperplane derived from (i, j) by a
-   *  hash — no stored model. `dim` = embedding dimensionality. */
-  def lshKey(vec: Column, bits: Int, dim: Int): Column = {
-    val planes = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, hyperplane(i, dim), (x, h) => x * h), lit(0.0d), (a, v) => a + v)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
-
-  private def hyperplane(seed: Int, dim: Int): Column = {
-    // deterministic ±1 pattern per (seed, index) without a stored model
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      when(pmod(hash(j * 2654435761L + seed.toLong * 40503L), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d)))
-  }
-
-  /** ANN top-k: restrict to the query's LSH bucket, exact re-rank. Caller
-   *  falls back to brute force when the bucket is too sparse (check
-   *  result count). */
+  /**
+   * ANN top-k: restrict to the query's multiprobe LSH bucket set (base
+   * bucket + the nprobe-1 most-likely sign flips), exact re-rank inside.
+   * The query's keys are computed ON THE DRIVER by the same kernel the
+   * executors run — no 1-row Spark job. Callers needing guaranteed k
+   * results check the count and fall back to [[bruteTopK]].
+   */
   def annTopK(df: DataFrame, vecName: String, idName: String,
-              query: Array[Float], k: Int, bits: Int = 8): DataFrame = {
+              query: Array[Float], k: Int, bits: Int = 16, nprobe: Int = 4): DataFrame = {
     val q = typedlit(query)
-    val dim = query.length
-    val keyed = df.withColumn("__key", lshKey(col(vecName), bits, dim))
-    val qKey = df.sparkSession.range(1).select(lshKey(q, bits, dim).as("__qkey"))
-      .head().getLong(0)
-    keyed.filter(col("__key") === qKey)
+    val probeKeys = VecRT.lshProbes(query, bits, nprobe)
+    df.withColumn("__key", vx.lshKey(col(vecName), lit(bits)))
+      .filter(col("__key").isin(probeKeys: _*))
       .select(col(idName), cosine(col(vecName), q).as("cos"))
       .orderBy(col("cos").desc, col(idName).asc)
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH sign-bucket equi-join →
-   *  exact cosine refine (the embedding analog of Dedup.minhashPairs; the
-   *  bucket key bounds the join like the spatial cell key does). Pairs with
-   *  all `bits` hyperplane signs equal are candidates; cosine >= threshold
-   *  survives. Lower `bits` = higher recall, bigger buckets. */
+  /**
+   * Embedding-cosine near-duplicate pairs: multiprobe LSH sign-bucket
+   * equi-join → exact cosine refine (the embedding analog of
+   * Dedup.minhashPairs). One side explodes its probe keys, the other
+   * keeps its base key, so a pair is a candidate when EITHER vector's
+   * probe set hits the other's bucket — recall survives realistic `bits`
+   * (buckets must scale with corpus size: 2^bits ≳ n/1000, or every
+   * bucket join degenerates toward all-pairs).
+   */
   def nearDupPairs(df: DataFrame, vecName: String, idName: String,
-                   threshold: Double, bits: Int, dim: Int): DataFrame = {
+                   threshold: Double, bits: Int = 16, nprobe: Int = 3,
+                   dim: Int = -1): DataFrame = {
     // bucket join carries ids only (8B), vectors re-joined for the refine
     // (same shuffle-the-key-not-the-payload shape as Dedup.minhashPairs)
-    val keyed = df.select(col(idName).as("id"),
-      lshKey(col(vecName), bits, dim).as("__key"))
-    val a = keyed.select(col("__key"), col("id").as("id_a"))
-    val b = keyed.select(col("__key"), col("id").as("id_b"))
+    val a = df.select(col(idName).as("id_a"),
+        explode(vx.lshProbes(col(vecName), lit(bits), lit(nprobe))).as("__key"))
+    val b = df.select(col(idName).as("id_b"),
+        vx.lshKey(col(vecName), lit(bits)).as("__key"))
     val candidates = a.join(b, Seq("__key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b") // a pair can collide in several probes
     val vecs = df.select(col(idName).as("__vid"), col(vecName).as("__vec"))
     candidates
       .join(vecs, col("id_a") === col("__vid")).withColumnRenamed("__vec", "vec_a").drop("__vid")
@@ -91,48 +84,33 @@ object Similarity {
   }
 
   /**
-   * IVF-style ANN: k-means-lite coarse quantizer (deterministic seeds from
-   * the data itself: every (n/nlist)-th row by id order), assign each vector
-   * to its nearest centroid (broadcast), probe the query's `nprobe` nearest
-   * lists, exact re-rank inside them. The scale path: list assignment is a
-   * narrow map, probing reads ~nprobe/nlist of the data.
+   * IVF-style ANN with a TRAINED coarse quantizer: deterministic Lloyd
+   * iterations (k-means on unit-normalized vectors) over a bounded
+   * id-ordered sample, then assign each vector to its nearest centroid
+   * (broadcast), probe the query's `nprobe` nearest lists, exact re-rank
+   * inside them. The scale path: list assignment is a narrow map, probing
+   * reads ~nprobe/nlist of the data.
    */
   def ivfTopK(df: DataFrame, vecName: String, idName: String,
-              query: Array[Float], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              query: Array[Float], k: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    // deterministic centroids: evenly-spaced rows in id order (no RNG)
-    val seeds = df.select(col(idName).as("id"), col(vecName).as("v"))
-      .orderBy("id").limit(nlist * 8).collect()
-      .zipWithIndex.filter(_._2 % 8 == 0).map(_._1.getSeq[Float](1).toArray)
-    val centroids = seeds.take(nlist)
+    // bounded deterministic training sample: first nlist*64 rows by id
+    val sample = df.select(col(idName).as("id"), col(vecName).as("v"))
+      .orderBy("id").limit(nlist * 64).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val centroids = trainCentroids(sample, nlist, trainIters)
     val bc = spark.sparkContext.broadcast(centroids)
 
     val assignExpr = {
-      // nearest centroid id by cosine via array expressions would be O(nlist)
-      // columns; a tiny scala udf keeps it readable — the per-row cost is
-      // nlist * dim multiply-adds either way
+      // nearest centroid id by dot product; a tiny scala udf keeps it
+      // readable — the per-row cost is nlist * dim multiply-adds either way
       import org.apache.spark.sql.functions.udf
-      udf((v: Seq[Float]) => {
-        val cs = bc.value
-        var best = 0; var bestScore = Double.MinValue
-        var i = 0
-        while (i < cs.length) {
-          var dot = 0.0; var j = 0
-          val c = cs(i)
-          while (j < c.length && j < v.length) { dot += c(j).toDouble * v(j); j += 1 }
-          if (dot > bestScore) { bestScore = dot; best = i }
-          i += 1
-        }
-        best
-      })
+      udf((v: Seq[Float]) => nearestCentroid(bc.value, v))
     }
     val listed = df.withColumn("__list", assignExpr(col(vecName)))
 
-    val qScores = centroids.zipWithIndex.map { case (c, i) =>
-      var dot = 0.0; var j = 0
-      while (j < c.length && j < query.length) { dot += c(j).toDouble * query(j); j += 1 }
-      (i, dot)
-    }
+    val qScores = centroids.zipWithIndex.map { case (c, i) => (i, dotF(c, query)) }
     val probeLists = qScores.sortBy(-_._2).take(nprobe).map(_._1)
 
     val q = typedlit(query)
@@ -140,5 +118,59 @@ object Similarity {
       .select(col(idName), cosine(col(vecName), q).as("cos"))
       .orderBy(col("cos").desc, col(idName).asc)
       .limit(k)
+  }
+
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var j = 0
+    val n = math.min(a.length, b.length)
+    while (j < n) { d += a(j).toDouble * b(j); j += 1 }
+    d
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(dotF(v, v))
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private[ops] def nearestCentroid(cs: Array[Array[Float]], v: Seq[Float]): Int = {
+    var best = 0; var bestScore = Double.MinValue
+    var i = 0
+    while (i < cs.length) {
+      var d = 0.0; var j = 0
+      val c = cs(i)
+      while (j < c.length && j < v.length) { d += c(j).toDouble * v(j); j += 1 }
+      if (d > bestScore) { bestScore = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means-lite: seeds = evenly spaced sample rows, then
+    * `iters` Lloyd rounds with cosine (dot on unit centroids) assignment;
+    * empty clusters keep their previous centroid. */
+  private[ops] def trainCentroids(sample: Array[Array[Float]], nlist: Int,
+                                  iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val step = math.max(1, sample.length / nlist)
+    var cents = Array.tabulate(math.min(nlist, sample.length))(i =>
+      normalize(sample(math.min(i * step, sample.length - 1))))
+    var it = 0
+    while (it < iters) {
+      val dim = sample(0).length
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(cents, v)
+        var j = 0
+        while (j < dim && j < v.length) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old
+        else normalize(sums(i).map(_.toFloat))
+      }
+      it += 1
+    }
+    cents
   }
 }

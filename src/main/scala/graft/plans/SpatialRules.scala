@@ -119,6 +119,7 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     graft.functions.st.register(spark)
     graft.functions.tx.register(spark)
+    graft.functions.vx.register(spark)
     val current = spark.experimental.extraOptimizations
     val missing = SpatialRules.all.filterNot(r => current.exists(_ eq r))
     spark.experimental.extraOptimizations = current ++ missing

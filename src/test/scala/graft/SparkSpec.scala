@@ -24,6 +24,7 @@ object SparkSpec {
     s.sparkContext.setLogLevel("ERROR")
     graft.functions.st.register(s)
     graft.functions.tx.register(s)
+    graft.functions.vx.register(s)
     s
   }
 }
