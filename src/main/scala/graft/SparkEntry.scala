@@ -80,6 +80,16 @@ object SparkEntry {
           pts, "lon", "lat", "doc_id", 5, res = 4)
         .select("n_nationkey", "doc_id", "rank").orderBy("n_nationkey", "rank")
     }),
+    "q_knn_geo" -> ((s, dir) => {
+      // geodetic kNN: ranks by haversine METERS (reference NearestNeighbors
+      // ranks geodetically) — different neighbor sets than q_knn at high
+      // latitudes; oracle ranks by the same haversine in DuckDB
+      val ctrs = nationCenters(s, dir).select("n_nationkey", "clon", "clat")
+      val pts = pages(s, dir).select("doc_id", "lon", "lat")
+      SpatialJoin.knnJoin(ctrs, "n_nationkey", "clon", "clat",
+          pts, "lon", "lat", "doc_id", 5, res = 4, geodetic = true)
+        .select("n_nationkey", "doc_id", "rank").orderBy("n_nationkey", "rank")
+    }),
     "q_bbox_filter" -> ((s, dir) => {
       val box = st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0))
       pages(s, dir).filter(st.contains(box, col("geom")))
@@ -335,6 +345,16 @@ object SparkEntry {
          |SELECT n_nationkey, doc_id, rank FROM (
          |  SELECT n_nationkey, doc_id,
          |    CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY dist2 ASC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM d) WHERE rank <= 5
+         |ORDER BY n_nationkey, rank""".stripMargin,
+    "q_knn_geo" ->
+      s"""WITH $CTE_PAGES, $CTE_CTRS,
+         |d AS (SELECT c.n_nationkey, p.doc_id,
+         |  ${HAV("c.clon", "c.clat", "p.lon", "p.lat")} AS dm
+         |  FROM ctrs c CROSS JOIN pages p)
+         |SELECT n_nationkey, doc_id, rank FROM (
+         |  SELECT n_nationkey, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY dm ASC, doc_id ASC) AS BIGINT) AS rank
          |  FROM d) WHERE rank <= 5
          |ORDER BY n_nationkey, rank""".stripMargin,
     "q_bbox_filter" ->

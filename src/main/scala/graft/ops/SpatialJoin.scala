@@ -175,81 +175,166 @@ object SpatialJoin {
       .drop("__cbox")
   }
 
-  /**
-   * kNN: k nearest data points per query point, planar degree distance,
-   * ties broken by `dataIdName`. Small query side is broadcast and the rank
-   * is a per-query window — the reference's PQ-of-geohash-rings driver
-   * (KNNQuery.scala:41-105) collapses to one distributed pass. (A
-   * ring-pruned variant for huge query sides is future work.)
-   */
+  /** Haversine meters as a codegen-friendly column formula — same math as
+    * Geodesy.haversineMeters (and the DuckDB oracle's HAV fragment). */
+  def haversineCol(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    lit(2.0 * graft.geom.Geodesy.EarthRadiusMeters) * asin(least(lit(1.0), sqrt(
+      pow(sin(radians(lat2 - lat1) / 2), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2))))
+
   /**
    * Scalable kNN join for LARGE query sides — the reference's GeoHash-
    * spiral search (KNNQuery.scala:41-105, GeoHashSpiral.scala:60-159)
-   * re-expressed as one distributed pass + a provable-bound fallback:
+   * re-expressed as a resolution LADDER of distributed passes + a provable
+   * bound at each rung:
    *
    *  1. candidates = equi-join on the query's 3×3 cell neighborhood at
    *     `res` (both sides shuffle on cell id — no cross join);
    *  2. a query is RESOLVED iff it found ≥ k candidates and its k-th
-   *     distance is ≤ the distance to the neighborhood's edge (the
-   *     guarantee the reference's spiral termination needs — and where
-   *     its GEOMESA-285 under-estimation bug lived: we prove the bound
-   *     instead of assuming it);
-   *  3. unresolved queries (sparse cells) fall back to the broadcast
-   *     brute-force path.
+   *     distance is ≤ a PROVEN lower bound on the distance to anything
+   *     outside the neighborhood (the guarantee the reference's spiral
+   *     termination needs — and where its GEOMESA-285 under-estimation bug
+   *     lived: we prove the bound instead of assuming it);
+   *  3. unresolved queries re-probe at the next COARSER rung (9× the
+   *     area per cell per step of 3 res bits, ≈ the reference's spiral
+   *     widening) — brute force only as the final step, so one cold
+   *     region no longer triggers a full O(N·Q) cross join.
    *
-   * Planar degree metric, ties by `dataIdName` — identical semantics to
-   * [[knnPlanar]].
+   * `geodetic = false`: planar degree metric (oracle-parity variant);
+   * `geodetic = true`: haversine meters (the reference ranks kNN
+   * geodetically — NearestNeighbors.scala:20). Ties by `dataIdName`.
+   *
+   * Geodetic edge bound: a point outside the lat band exits via a
+   * horizontal edge, so distance ≥ R·Δφ_edge; a point beyond a meridian
+   * edge within the band satisfies distance ≥ R·arccos(sin²φ* +
+   * cos²φ*·cos Δλ_edge) — the exact minimum between two meridians
+   * restricted to |φ| ≤ φ* (attained at φ1 = φ2 = φ*), with φ* the
+   * neighborhood's max |lat|. Verified against brute-force haversine at
+   * |lat| > 60° in KnnMetaSpec.
    */
   def knnJoin(
       queries: DataFrame, qidName: String, qlonName: String, qlatName: String,
       data: DataFrame, dlonName: String, dlatName: String,
-      dataIdName: String, k: Int, res: Int = 7): DataFrame = {
+      dataIdName: String, k: Int, res: Int = 7,
+      geodetic: Boolean = false, ladderStep: Int = 3, ladderRungs: Int = 2): DataFrame = {
+
+    val rungs = Iterator.iterate(res)(_ - ladderStep).takeWhile(_ >= 2).take(ladderRungs).toSeq
+    var remaining = queries
+    var parts = List.empty[DataFrame]
+    rungs.foreach { r =>
+      val (resolvedRanked, unresolved) = knnRound(remaining, qidName, qlonName, qlatName,
+        data, dlonName, dlatName, dataIdName, k, r, geodetic)
+      parts ::= resolvedRanked
+      remaining = unresolved
+    }
+    // final safety net (AQE's empty-relation propagation elides it when the
+    // ladder resolved every query — the remaining side arrives empty)
+    val brute = knnBrute(remaining, qlonName, qlatName,
+      data, dlonName, dlatName, dataIdName, k, geodetic)
+    (brute :: parts).map(_.select(col(qidName), col(dataIdName), col("rank")))
+      .reduce(_ union _)
+  }
+
+  /** One ladder rung: 3×3 neighborhood equi-join at `res`, provable-bound
+    * resolution test → (resolved ranked rows, still-unresolved queries). */
+  private def knnRound(
+      queries: DataFrame, qidName: String, qlonName: String, qlatName: String,
+      data: DataFrame, dlonName: String, dlatName: String,
+      dataIdName: String, k: Int, res: Int, geodetic: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
 
     val cellW = 360.0 / (1L << res)
     val cellH = 180.0 / (1L << res)
 
     val d = data.withColumn("__cell", st.z2Encode(col(dlonName), col(dlatName), lit(res)))
-    val q = queries
+    val base = queries
       .withColumn("__qc", st.z2Encode(col(qlonName), col(qlatName), lit(res)))
-      // 3×3 neighborhood: own cell + ≤8 neighbors
-      .withColumn("__cell", explode(array_union(array(col("__qc")), st.cellNeighbors(col("__qc")))))
-      // planar distance from the query point to the neighborhood edge —
-      // the correctness bound for early termination
       .withColumn("__minx", floor((col(qlonName) + 180.0) / cellW) * cellW - 180.0)
       .withColumn("__miny", floor((col(qlatName) + 90.0) / cellH) * cellH - 90.0)
-      .withColumn("__inr", least(
+    // lower bound on the metric distance to anything OUTSIDE the 3×3
+    // neighborhood — the resolution certificate
+    val withBound =
+      if (!geodetic) base.withColumn("__bnd", least(
         col(qlonName) - (col("__minx") - cellW), (col("__minx") + 2 * cellW) - col(qlonName),
         col(qlatName) - (col("__miny") - cellH), (col("__miny") + 2 * cellH) - col(qlatName)))
+      else {
+        val latLo = greatest(lit(-90.0), col("__miny") - cellH)
+        val latHi = least(lit(90.0), col("__miny") + 2 * cellH)
+        val phiStar = radians(greatest(abs(latLo), abs(latHi)))
+        val R = lit(graft.geom.Geodesy.EarthRadiusMeters)
+        val inf = lit(Double.MaxValue)
+        def meridianBound(gapDeg: Column): Column =
+          R * acos(greatest(lit(-1.0), least(lit(1.0),
+            pow(sin(phiStar), 2) + pow(cos(phiStar), 2) * cos(radians(gapDeg)))))
+        base.withColumn("__bnd", least(
+          when(col("__miny") + 2 * cellH >= 90.0, inf)
+            .otherwise(R * radians((col("__miny") + 2 * cellH) - col(qlatName))),
+          when(col("__miny") - cellH <= -90.0, inf)
+            .otherwise(R * radians(col(qlatName) - (col("__miny") - cellH))),
+          meridianBound((col("__minx") + 2 * cellW) - col(qlonName)),
+          meridianBound(col(qlonName) - (col("__minx") - cellW))))
+      }
+    val q = withBound
+      // 3×3 neighborhood: own cell + ≤8 neighbors (wraps lon, clamps poles)
+      .withColumn("__cell", explode(array_union(array(col("__qc")), st.cellNeighbors(col("__qc")))))
       .drop("__qc", "__minx", "__miny")
 
     val joined = q.join(d, Seq("__cell"), "inner")
-    val dx = joined(dlonName) - joined(qlonName)
-    val dy = joined(dlatName) - joined(qlatName)
-    val cand = joined.withColumn("__dist2", dx * dx + dy * dy)
-    val w = Window.partitionBy(qidName).orderBy(col("__dist2").asc, col(dataIdName).asc)
+    val dist =
+      if (geodetic) haversineCol(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName))
+      else {
+        val dx = joined(dlonName) - joined(qlonName)
+        val dy = joined(dlatName) - joined(qlatName)
+        dx * dx + dy * dy
+      }
+    val cand = joined.withColumn("__d", dist)
+    val w = Window.partitionBy(qidName).orderBy(col("__d").asc, col(dataIdName).asc)
     val ranked = cand
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
 
-    // a query resolves iff rank-k exists and sqrt(kth dist2) <= edge bound
+    // resolves iff rank-k exists and the k-th distance is within the bound
+    // (planar __d is SQUARED degrees, so compare against __bnd²)
+    val kdOk =
+      if (geodetic) col("__kd") <= col("__r")
+      else col("__kd") <= col("__r") * col("__r")
     val resolved = ranked.groupBy(col(qidName).as("__rqid"))
-      .agg(count(lit(1)).as("__n"), max(col("__dist2")).as("__kd2"),
-        first(col("__inr")).as("__r"))
-      .filter(col("__n") === k && col("__kd2") <= col("__r") * col("__r"))
+      .agg(count(lit(1)).as("__n"), max(col("__d")).as("__kd"), first(col("__bnd")).as("__r"))
+      .filter(col("__n") === k && kdOk)
       .select("__rqid")
 
     val rankedResolved = ranked
       .join(broadcast(resolved), col(qidName) === col("__rqid"), "left_semi")
-      .drop("__cell", "__inr", "__dist2")
-
-    val unresolvedQueries = queries
+      .drop("__cell", "__bnd", "__d")
+    val unresolved = queries
       .join(broadcast(resolved), col(qidName) === col("__rqid"), "left_anti")
-    val fallback = knnPlanar(unresolvedQueries, qlonName, qlatName,
-      data, dlonName, dlatName, dataIdName, k)
+    (rankedResolved, unresolved)
+  }
 
-    rankedResolved.select(col(qidName), col(dataIdName), col("rank"))
-      .union(fallback.select(col(qidName), col(dataIdName), col("rank")))
+  /** Brute-force kNN (small query side broadcast): the exact baseline and
+    * the ladder's last resort. */
+  private def knnBrute(
+      queries: DataFrame, qlonName: String, qlatName: String,
+      data: DataFrame, dlonName: String, dlatName: String,
+      dataIdName: String, k: Int, geodetic: Boolean): DataFrame =
+    if (geodetic) knnGeodetic(queries, qlonName, qlatName, data, dlonName, dlatName, dataIdName, k)
+    else knnPlanar(queries, qlonName, qlatName, data, dlonName, dlatName, dataIdName, k)
+
+  /** Brute-force geodetic kNN: haversine-meters rank per query. */
+  def knnGeodetic(
+      queries: DataFrame, qlonName: String, qlatName: String,
+      data: DataFrame, dlonName: String, dlatName: String,
+      dataIdName: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = data.crossJoin(broadcast(queries))
+    val withDist = joined.withColumn("__dm",
+      haversineCol(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName)))
+    val qKeys = queries.columns.filter(c => c != qlonName && c != qlatName)
+    val w = Window.partitionBy(qKeys.map(col): _*)
+      .orderBy(col("__dm").asc, col(dataIdName).asc)
+    withDist.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__dm")
   }
 
   def knnPlanar(

@@ -32,6 +32,39 @@ class KnnMetaSpec extends SparkSpec {
     }
   }
 
+  test("geodetic knnJoin == brute-force haversine, including |lat| > 60 queries") {
+    import spark.implicits._
+    // high-latitude centers where planar and geodetic neighbor sets diverge
+    val ctrs = Seq((1L, 10.0, 72.0), (2L, -150.0, -75.0), (3L, 179.5, 65.0), (4L, 0.0, 0.5))
+      .toDF("qid", "clon", "clat")
+    val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")
+    val expect = SpatialJoin.knnGeodetic(ctrs, "clon", "clat", pts, "lon", "lat", "doc_id", 5)
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+    Seq(3, 5, 8).foreach { res =>
+      val got = SpatialJoin.knnJoin(ctrs, "qid", "clon", "clat",
+          pts, "lon", "lat", "doc_id", 5, res, geodetic = true)
+        .select("qid", "doc_id", "rank").collect()
+        .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+      assert(got === expect, s"geodetic res=$res")
+    }
+  }
+
+  test("ladder fallback: fine start resolution re-probes coarser before brute force") {
+    val ctrs = WebPages.nationCenters(spark, sfDir).select("n_nationkey", "clon", "clat")
+    val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")
+    val expect = SpatialJoin.knnPlanar(ctrs, "clon", "clat", pts, "lon", "lat", "doc_id", 5)
+      .select("n_nationkey", "doc_id", "rank").collect()
+      .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+    // res=12 on sf0.001 leaves nearly every query unresolved at rung 1; the
+    // rung at res-3=9 and the brute tail must still produce exact results
+    val got = SpatialJoin.knnJoin(ctrs, "n_nationkey", "clon", "clat",
+        pts, "lon", "lat", "doc_id", 5, res = 12, ladderStep = 3, ladderRungs = 3)
+      .select("n_nationkey", "doc_id", "rank").collect()
+      .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+    assert(got === expect)
+  }
+
   test("tile render: bytes buffer per tile, max-normalized, correct pixel placement") {
     import spark.implicits._
     val df = Seq(
