@@ -254,6 +254,18 @@ case class StAsText(child: Expression) extends UnaryExpression with Serializable
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_asgeojson(geom) → GeoJSON geometry object for ANY geometry type. */
+case class StAsGeoJson(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(GeomRT.geoJsonGeometry(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${RT.C}.geoJsonGeometry($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StGeometryType(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

@@ -268,6 +268,42 @@ object GeomRT {
     graft.index.XZ2.queryCover(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, maxRes)
   }
 
+  /** GeoJSON geometry object for any WKB geometry (reference exporters
+    * handle arbitrary geometries — FeatureExporter.scala:46-129; the old
+    * point-only path hardcoded "Point"). */
+  def geoJsonGeometry(b: Array[Byte]): String = geoJson(GeomCodec.fromWkb(b))
+
+  private def geoJson(g: Geometry): String = {
+    def num(d: Double): String =
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    def coord(c: org.locationtech.jts.geom.Coordinate) = s"[${num(c.x)},${num(c.y)}]"
+    def line(cs: Array[org.locationtech.jts.geom.Coordinate]) =
+      cs.map(coord).mkString("[", ",", "]")
+    def polyCoords(p: org.locationtech.jts.geom.Polygon) = {
+      val rings = line(p.getExteriorRing.getCoordinates) +:
+        (0 until p.getNumInteriorRing).map(i => line(p.getInteriorRingN(i).getCoordinates))
+      rings.mkString("[", ",", "]")
+    }
+    def multi(tp: String, parts: Seq[String]) =
+      s"""{"type":"$tp","coordinates":${parts.mkString("[", ",", "]")}}"""
+    g.getGeometryType match {
+      case "Point" => s"""{"type":"Point","coordinates":${coord(g.getCoordinate)}}"""
+      case "LineString" | "LinearRing" =>
+        s"""{"type":"LineString","coordinates":${line(g.getCoordinates)}}"""
+      case "Polygon" =>
+        s"""{"type":"Polygon","coordinates":${polyCoords(g.asInstanceOf[org.locationtech.jts.geom.Polygon])}}"""
+      case "MultiPoint" => multi("MultiPoint", g.getCoordinates.toSeq.map(coord))
+      case "MultiLineString" => multi("MultiLineString",
+        (0 until g.getNumGeometries).map(i => line(g.getGeometryN(i).getCoordinates)))
+      case "MultiPolygon" => multi("MultiPolygon",
+        (0 until g.getNumGeometries).map(i =>
+          polyCoords(g.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon])))
+      case _ => // GeometryCollection
+        val parts = (0 until g.getNumGeometries).map(i => geoJson(g.getGeometryN(i)))
+        s"""{"type":"GeometryCollection","geometries":${parts.mkString("[", ",", "]")}}"""
+    }
+  }
+
   /** WKB box of a base-32 geohash cell. */
   def geohashBoxWkb(hash: String): Array[Byte] = {
     val (x0, y0, x1, y1) = graft.index.GeoHashStr.decodeBounds(hash)

@@ -16,6 +16,7 @@ object st {
 
   def geomFromWKT(wkt: Column): Column = col(StGeomFromWKT(ex(wkt)))
   def asText(g: Column): Column = col(StAsText(ex(g)))
+  def asGeoJson(g: Column): Column = col(StAsGeoJson(ex(g)))
   def point(lon: Column, lat: Column): Column = col(StPoint(ex(lon), ex(lat)))
   def makeBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StMakeBox(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
@@ -84,6 +85,7 @@ object st {
     f1("st_geomfromwkt", StGeomFromWKT)
     f1("st_geomfromtext", StGeomFromWKT)
     f1("st_astext", StAsText)
+    f1("st_asgeojson", StAsGeoJson)
     f2("st_point", StPoint)
     reg.createOrReplaceTempFunction("st_makebox", es => StMakeBox(es), "built-in")
     f2("st_contains", StContains)

@@ -42,6 +42,36 @@ object XZ2 {
     Z2.encode(lonMin, latMin, r)
   }
 
+  /**
+   * Largest safe maxRes for a join whose widest query window is
+   * `maxW`×`maxH` degrees: the finest resolution at which the CUMULATIVE
+   * query cover (all levels 0..r, each expanded one cell width down/left)
+   * still fits `budget`. Degrading maxRes is only sound when BOTH sides of
+   * the join use it — the encode side must not index finer than the query
+   * cover enumerates (coarser cells over-approximate soundly; reference
+   * overflow path: QueryPlanners.scala:344-360).
+   */
+  def maxResForBudget(maxW: Double, maxH: Double, maxRes: Int, budget: Int = 65536): Int = {
+    var r = 0
+    var total = 0L
+    var best = 0
+    while (r <= maxRes) {
+      val cellW = 360.0 / (1L << r)
+      val cellH = 180.0 / (1L << r)
+      // worst-case cell count for a maxW×maxH window expanded one cell
+      // width: floor(w/cellW)+3 columns (fractional span +1, expansion +1,
+      // anchor straddle +1) — a strict upper bound on Z2.coverSize, so the
+      // per-window `require` in queryCover can never fire at this res
+      val cols = math.min(1L << r, (maxW / cellW).toLong + 3)
+      val rows = math.min(1L << r, (maxH / cellH).toLong + 3)
+      total += cols * rows
+      if (total > budget) return best
+      best = r
+      r += 1
+    }
+    best
+  }
+
   /** Candidate XZ2 cells (all resolutions 0..maxRes) for a query window:
    *  cells whose doubled extent could intersect the window. Used as the
    *  probe-side key set of an XZ join. */

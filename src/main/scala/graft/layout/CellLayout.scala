@@ -110,6 +110,12 @@ object CellLayout {
     var manifest = done
     waveIds.foreach { w =>
       val bs = waveOf.collect { case (b, `w`) => b }.toSeq
+      // crash-window cleanup (idempotent resume): a prior run killed AFTER
+      // the parquet append but BEFORE the manifest checkpoint left these
+      // buckets on disk without a manifest entry — re-running would append
+      // a second copy (silent duplicates). Any bucket dir pending in this
+      // wave is, by definition, not in the manifest: delete before writing.
+      deleteBucketDirs(outDir, bs)
       val t0 = System.nanoTime()
       val wave = df.filter(col("bucket").isin(bs: _*))
         // range-partition on (bucket, salt, cell): hot buckets spread over
@@ -140,6 +146,25 @@ object CellLayout {
       writeManifest(outDir, manifest) // atomic checkpoint after each wave
     }
     manifest
+  }
+
+  /** Delete every `bucket=<b>` partition dir (possibly nested under day=…)
+    * for the given buckets — the resume-time cleanup of un-manifested
+    * output. */
+  private def deleteBucketDirs(outDir: String, buckets: Seq[Long]): Unit = {
+    val root = Paths.get(outDir)
+    if (!Files.exists(root)) return
+    val names = buckets.map(b => s"bucket=$b").toSet
+    val walk = Files.walk(root)
+    val dirs = try walk.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => Files.isDirectory(p) && names.contains(p.getFileName.toString))
+    finally walk.close()
+    dirs.foreach { d =>
+      val all = Files.walk(d)
+      try all.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      finally all.close()
+    }
   }
 
   /** Read a cell table back; `queryBox` prunes directory partitions via the

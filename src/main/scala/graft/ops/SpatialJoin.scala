@@ -72,12 +72,24 @@ object SpatialJoin {
       .drop("__fcell")
 
     val doBroadcast = broadcastPolys.getOrElse {
-      // plan-statistics cost probe — no job launched (the reference's
-      // cost-based strategy choice, QueryStrategyDecider.scala:52-110,
-      // reads cardinality metadata the same way). Covers multiply rows by
-      // at most `budget`, so scale the pre-explode size estimate.
+      // plan-statistics cost probe — no job launched when stats are real
+      // (the reference's cost-based strategy choice,
+      // QueryStrategyDecider.scala:52-110, reads cardinality metadata the
+      // same way). Covers multiply rows by at most `budget`; ~budget/4 is
+      // the observed typical budget-capped cover size.
+      val coverFactor = math.max(1, budget / 4)
+      val conf = polys.sparkSession.sessionState.conf
       val bytes = polys.queryExecution.optimizedPlan.stats.sizeInBytes
-      bytes * 64 <= BigInt(256L * 1024 * 1024) // 64 ≈ typical budget-capped cover size
+      if (bytes < BigInt(conf.defaultSizeInBytes))
+        bytes * coverFactor <= BigInt(256L * 1024 * 1024)
+      else {
+        // stats are the unknown-size sentinel (LocalRelation, post-join
+        // frames): a HUGE default would force the salted-shuffle path plus
+        // a hot-cell sampling job for what is often a tiny build side.
+        // Bounded row probe instead: scans at most maxRows+1 build rows.
+        val maxRows = BroadcastCoverRows / coverFactor
+        polys.limit((maxRows + 1).toInt).count() <= maxRows
+      }
     }
 
     if (doBroadcast || salts <= 1) {

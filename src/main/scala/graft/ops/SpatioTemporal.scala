@@ -131,10 +131,24 @@ object SpatioTemporal {
   def xzIntersectsJoin(
       extents: DataFrame, extGeomName: String,
       windows: DataFrame, winGeomName: String,
-      maxRes: Int = 10): DataFrame = {
-    val e = extents.withColumn("__xcell", st.xz2(col(extGeomName), lit(maxRes)))
+      maxRes: Int = 10, coverBudget: Int = 65536): DataFrame = {
+    // plan-time budget degrade (reference overflow path QueryPlanners.scala:
+    // 344-360): one tiny aggregation over the (query) window side finds the
+    // widest window; the finest enumerated resolution is capped so every
+    // window's cumulative cover fits the budget. BOTH sides use the capped
+    // res — encoding finer than the cover enumerates would miss matches.
+    // A large window thus degrades to a coarser (slower, still sound) plan
+    // instead of a runtime exception.
+    val env = windows.agg(
+      max(st.xmax(col(winGeomName)) - st.xmin(col(winGeomName))).as("w"),
+      max(st.ymax(col(winGeomName)) - st.ymin(col(winGeomName))).as("h")).head()
+    val res =
+      if (env.isNullAt(0) || env.isNullAt(1)) maxRes
+      else math.min(maxRes,
+        graft.index.XZ2.maxResForBudget(env.getDouble(0), env.getDouble(1), maxRes, coverBudget))
+    val e = extents.withColumn("__xcell", st.xz2(col(extGeomName), lit(res)))
     val w = windows.withColumn("__xcell",
-      explode(st.xz2QueryCover(col(winGeomName), lit(maxRes))))
+      explode(st.xz2QueryCover(col(winGeomName), lit(res))))
     val joined = e.join(w, Seq("__xcell"), "inner")
     joined.filter(st.intersects(joined(extGeomName), joined(winGeomName)))
       .drop("__xcell")

@@ -73,9 +73,17 @@ object SpatialRules {
     case other => Seq(other)
   }
 
-  /** Rule: replace whole-world spatial predicates with a null check. */
+  /** Rule: replace whole-world spatial predicates with a null check.
+    *
+    * DATA CONTRACT: sound only for coordinates within ±180/±90 — a row with
+    * out-of-range lon/lat would flip from false to true under the rewrite.
+    * The engine's ingest surface enforces the contract
+    * (IngestExport.enforceLonLatDomain: reject or clamp); disable here via
+    * `elideWholeWorld = false` for pipelines that ingest unvalidated
+    * coordinates. */
+  @volatile var elideWholeWorld: Boolean = true
   object WholeWorldElision extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    override def apply(plan: LogicalPlan): LogicalPlan = if (!elideWholeWorld) plan else plan.transformAllExpressions {
       case p @ StContains(l, g) if litEnvelope(l).exists(isWorldStrict) && isRectLit(l) =>
         IsNotNull(g) // predicate was null-intolerant: null geom stays filtered
       case p @ StCovers(l, g) if litEnvelope(l).exists(isWorld) && isRectLit(l) =>

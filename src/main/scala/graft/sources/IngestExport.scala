@@ -27,15 +27,32 @@ object IngestExport {
   def withWktGeometry(df: DataFrame, wktCol: String): DataFrame =
     df.withColumn("geom", st.geomFromWKT(col(wktCol)))
 
-  /** GeoJSON-feature export (reference S10 GeoJSON exporter): one JSON
-    * feature object per row, geometry as WKT-free coordinates for points. */
+  /** GeoJSON-feature export (reference S10, FeatureExporter.scala:46-129):
+    * one JSON feature object per row, geometry rendered for ANY geometry
+    * type (Point, LineString, Polygon, Multi variants, collections) via
+    * st_asgeojson. The id is emitted as a JSON string (RFC 7946 allows
+    * string or number ids). */
   def toGeoJson(df: DataFrame, geomCol: String, idCol: String): DataFrame =
-    df.select(to_json(struct(
-      lit("Feature").as("type"),
-      col(idCol).as("id"),
-      struct(lit("Point").as("type"),
-        array(st.x(col(geomCol)), st.y(col(geomCol))).as("coordinates")).as("geometry")
-    )).as("feature"))
+    df.select(concat(
+      lit("{\"type\":\"Feature\",\"id\":\""), col(idCol).cast("string"),
+      lit("\",\"geometry\":"), st.asGeoJson(col(geomCol)),
+      lit("}")).as("feature"))
+
+  /**
+   * Lon/lat domain contract enforcement (the data contract the optimizer's
+   * whole-world elision rule relies on — SpatialRules.WholeWorldElision):
+   * rows outside ±180/±90 are either REJECTED (dropped) or CLAMPED into
+   * range. Run at ingest; downstream cell encoding and filter rewrites may
+   * then assume valid coordinates.
+   */
+  def enforceLonLatDomain(df: DataFrame, lonCol: String, latCol: String,
+                          clamp: Boolean = false): DataFrame =
+    if (clamp)
+      df.withColumn(lonCol, greatest(lit(-180.0), least(lit(180.0), col(lonCol))))
+        .withColumn(latCol, greatest(lit(-90.0), least(lit(90.0), col(latCol))))
+    else
+      df.filter(col(lonCol) >= -180.0 && col(lonCol) <= 180.0 &&
+        col(latCol) >= -90.0 && col(latCol) <= 90.0)
 
   /** CSV/TSV export with geometry as WKT (reference DelimitedExport). */
   def toDelimited(df: DataFrame, geomCol: String): DataFrame =

@@ -46,6 +46,22 @@ class CellLayoutSpec extends SparkSpec {
     assert(again === full)
   }
 
+  test("crash window: bucket appended but un-manifested is NOT duplicated on resume") {
+    val out = freshDir()
+    val partial = CellLayout.write(keyedPages, out, sfDir, waves = 4, maxWaves = 1)
+    // simulate a kill between the parquet append and the manifest
+    // checkpoint: one PENDING bucket's data is already on disk
+    val crashed = keyedPages.select("bucket").distinct().collect().map(_.getLong(0))
+      .filterNot(partial.contains).head
+    keyedPages.filter(col("bucket") === crashed)
+      .write.mode("append").partitionBy("bucket").parquet(out)
+    // resume must delete the un-manifested dir before re-writing it
+    CellLayout.write(keyedPages, out, sfDir, waves = 4)
+    val expect = keyedPages.count()
+    assert(CellLayout.read(spark, out).count() === expect,
+      "resume after mid-commit kill must not duplicate rows")
+  }
+
   test("read with queryBox prunes directory partitions (PartitionFilters)") {
     val out = freshDir()
     CellLayout.write(keyedPages, out, sfDir)

@@ -30,9 +30,39 @@ class IngestExportSpec extends SparkSpec {
     val df = Seq((7L, "POINT (3 4)")).toDF("id", "wkt")
     val geo = IngestExport.withWktGeometry(df, "wkt")
     val json = IngestExport.toGeoJson(geo, "geom", "id").head().getString(0)
-    assert(json.contains("\"type\":\"Feature\"") && json.contains("[3.0,4.0]"), json)
+    assert(json.contains("\"type\":\"Feature\"") && json.contains("[3,4]"), json)
     val delim = IngestExport.toDelimited(geo.select("id", "geom"), "geom").head()
     assert(delim.getString(1) === "POINT (3 4)")
+  }
+
+  test("geojson export renders non-point geometries (S10)") {
+    val wkts = Seq(
+      (1L, "LINESTRING (0 0, 1 1, 2 0.5)"),
+      (2L, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+      (3L, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"),
+      (4L, "GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (0 0, 1 1))"))
+    val df = IngestExport.withWktGeometry(wkts.toDF("id", "wkt"), "wkt")
+    val out = IngestExport.toGeoJson(df, "geom", "id")
+      .collect().map(_.getString(0))
+    assert(out(0).contains("\"type\":\"LineString\"") && out(0).contains("[[0,0],[1,1],[2,0.5]]"), out(0))
+    // polygon: exterior ring + hole, both closed
+    assert(out(1).contains("\"type\":\"Polygon\"") && out(1).contains("[1,1],[2,1],[2,2],[1,2],[1,1]"), out(1))
+    assert(out(2).contains("\"type\":\"MultiPolygon\""), out(2))
+    assert(out(3).contains("\"type\":\"GeometryCollection\"") &&
+      out(3).contains("\"geometries\":["), out(3))
+    // every feature parses as JSON (round-trip through Spark's parser)
+    val parsed = out.toSeq.toDF("j")
+      .select(get_json_object(col("j"), "$.geometry.type").as("t")).collect().map(_.getString(0))
+    assert(parsed.toSeq === Seq("LineString", "Polygon", "MultiPolygon", "GeometryCollection"))
+  }
+
+  test("lon/lat domain enforcement: reject drops, clamp folds into range") {
+    val df = Seq((1L, 10.0, 20.0), (2L, -200.0, 10.0), (3L, 20.0, 95.0)).toDF("id", "lon", "lat")
+    val rejected = IngestExport.enforceLonLatDomain(df, "lon", "lat")
+    assert(rejected.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val clamped = IngestExport.enforceLonLatDomain(df, "lon", "lat", clamp = true)
+      .orderBy("id").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(clamped.toSeq === Seq((10.0, 20.0), (-180.0, 10.0), (20.0, 90.0)))
   }
 
   test("BIN export: 16-byte LE records decode back (F6)") {

@@ -78,6 +78,26 @@ class SpatioTemporalSpec extends SparkSpec {
     assert(got.toSet === expect)
   }
 
+  test("xzIntersectsJoin: oversized windows degrade to a coarser res instead of throwing") {
+    import spark.implicits._
+    val nb = WebPages.nationBoxes(spark, sfDir)
+    // half-world window: at maxRes=10 the cumulative cover would blow the
+    // 65536 budget and previously threw at runtime
+    val win = Seq((1L, -170.0, -80.0, 10.0, 60.0)).toDF("wid", "x0", "y0", "x1", "y1")
+      .withColumn("win_geom", graft.functions.st.makeBox(col("x0"), col("y0"), col("x1"), col("y1")))
+    val nBoxes = nb.select("n_nationkey", "xmin", "ymin", "xmax", "ymax").collect()
+      .map(r => (asL(r, 0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val expect = nBoxes.collect {
+      case (nk, ax0, ay0, ax1, ay1) if !(ax1 < -170.0 || 10.0 < ax0 || ay1 < -80.0 || 60.0 < ay0) => nk
+    }.toSet
+    val got = SpatioTemporal.xzIntersectsJoin(
+        nb.select("n_nationkey", "nation_geom"), "nation_geom",
+        win.select("wid", "win_geom"), "win_geom", maxRes = 10)
+      .select("n_nationkey").collect().map(r => asL(r, 0)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("embedding nearDupPairs: candidates restricted to same-sign buckets; cosine verified") {
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val all = df.select("vec_id", "embedding").collect()
