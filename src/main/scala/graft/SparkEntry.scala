@@ -80,6 +80,23 @@ object SparkEntry {
           pts, "lon", "lat", "doc_id", 5, res = 4)
         .select("n_nationkey", "doc_id", "rank").orderBy("n_nationkey", "rank")
     }),
+    "q_s2_contains_join" -> ((s, dir) => {
+      // the SAME point-in-polygon join routed through the S2-style cube-
+      // face Hilbert index (north star: "H3/S2 hierarchical cell
+      // indexing") — must produce identical pairs to the Z2 path, so it
+      // shares q_st_contains_join's oracle
+      val level = 6
+      val polys = regions(s, dir)
+        .withColumn("__cell", explode(st.s2CoverBBox(
+          col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
+        .select("region_id", "region_geom", "__cell")
+      val pts = pages(s, dir)
+        .withColumn("__cell", st.s2Encode(col("lon"), col("lat"), lit(level)))
+        .select("doc_id", "geom", "__cell")
+      val joined = pts.join(broadcast(polys), Seq("__cell"), "inner")
+      joined.filter(st.contains(joined("region_geom"), joined("geom")))
+        .select("region_id", "doc_id").orderBy("region_id", "doc_id")
+    }),
     "q_knn_geo" -> ((s, dir) => {
       // geodetic kNN: ranks by haversine METERS (reference NearestNeighbors
       // ranks geodetically) — different neighbor sets than q_knn at high
@@ -347,6 +364,11 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY dist2 ASC, doc_id ASC) AS BIGINT) AS rank
          |  FROM d) WHERE rank <= 5
          |ORDER BY n_nationkey, rank""".stripMargin,
+    "q_s2_contains_join" ->
+      s"""WITH $CTE_PAGES, $CTE_REGIONS
+         |SELECT r.region_id, p.doc_id FROM pages p JOIN regions r
+         |ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax
+         |ORDER BY r.region_id, p.doc_id""".stripMargin,
     "q_knn_geo" ->
       s"""WITH $CTE_PAGES, $CTE_CTRS,
          |d AS (SELECT c.n_nationkey, p.doc_id,

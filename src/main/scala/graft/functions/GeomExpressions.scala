@@ -397,6 +397,77 @@ case class GridCells(children: Seq[Expression]) extends Expression with Serializ
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
 
+// ---- S2-style cube-face Hilbert index expressions ----
+
+/** s2_encode(lon, lat, level) → S2-style cell id (cube face + Hilbert). */
+case class S2Encode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(lon: Any, lat: Any, l: Any): Any =
+    graft.index.S2Lite.encode(lon.asInstanceOf[Double], lat.asInstanceOf[Double], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, l) => s"graft.index.S2Lite.encode($lon, $lat, $l)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** s2_parent(cell, level) → ancestor cell (Hilbert prefix). */
+case class S2Parent(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    graft.index.S2Lite.parent(c.asInstanceOf[Long], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.index.S2Lite.parent($c, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** s2_neighbors(cell) → array<long> of edge/corner-touching cells
+  * (cross-face aware). */
+case class S2Neighbors(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any =
+    new GenericArrayData(graft.index.S2Lite.neighbors(c.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.index.S2Lite.neighbors($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** s2_cover_bbox(xmin, ymin, xmax, ymax, level) → array<long> covering
+  * cells (sampled + neighbor closure over-approximation). */
+case class S2CoverBBox(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.size == 5, "s2_cover_bbox(xmin, ymin, xmax, ymax, level)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else new GenericArrayData(graft.index.S2Lite.coverBBox(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Int]))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.index.S2Lite.coverBBox(${evs(0).value}, ${evs(1).value},
+              ${evs(2).value}, ${evs(3).value}, ${evs(4).value}));
+        }""")
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
 // ---- Z3 / XZ2 index expressions ----
 
 /** z3_encode(lon, lat, epochSec, periodSec, res) → packed Z3 cell id. */

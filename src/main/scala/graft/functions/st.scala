@@ -68,6 +68,12 @@ object st {
   def timeBin(epochSec: Column, periodSec: Column): Column = col(TimeBin(ex(epochSec), ex(periodSec)))
   def xz2(g: Column, maxRes: Column): Column = col(Xz2Encode(ex(g), ex(maxRes)))
   def xz2QueryCover(g: Column, maxRes: Column): Column = col(Xz2QueryCover(ex(g), ex(maxRes)))
+  def s2Encode(lon: Column, lat: Column, level: Column): Column =
+    col(S2Encode(ex(lon), ex(lat), ex(level)))
+  def s2Parent(cell: Column, level: Column): Column = col(S2Parent(ex(cell), ex(level)))
+  def s2Neighbors(cell: Column): Column = col(S2Neighbors(ex(cell)))
+  def s2CoverBBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column, level: Column): Column =
+    col(S2CoverBBox(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax), ex(level))))
   def geohashEncode(lon: Column, lat: Column, chars: Column): Column =
     col(GeohashEncode(ex(lon), ex(lat), ex(chars)))
   def geohashBox(h: Column): Column = col(GeohashBox(ex(h)))
@@ -128,6 +134,10 @@ object st {
     f2("time_bin", TimeBin)
     f2("xz2_encode", Xz2Encode)
     f2("xz2_query_cover", Xz2QueryCover)
+    f3("s2_encode", S2Encode)
+    f2("s2_parent", S2Parent)
+    f1("s2_neighbors", S2Neighbors)
+    reg.createOrReplaceTempFunction("s2_cover_bbox", es => S2CoverBBox(es), "built-in")
     f3("geohash_encode", GeohashEncode)
     f1("geohash_box", GeohashBox)
   }

@@ -59,6 +59,48 @@ object LiveView {
       })
   }
 
+  /**
+   * Latest-state-per-id WITH physical state eviction (the reference's Guava
+   * cache `expireAfterWrite` — StreamDataStore.scala:38-100): an event-time
+   * timer evicts a key `ttlMillis` after its last write, emitting a final
+   * `alive=false` tombstone. Event-time timers fire as the WATERMARK
+   * advances (data-driven — no continuous no-data micro-batch loop, unlike
+   * ProcessingTimeTimeout), so state size tracks the live key set, not the
+   * all-time key set. Use this in production pipelines; [[liveState]] +
+   * [[withTtl]] remains the deterministic view-side variant.
+   */
+  def liveStateEvicting(events: Dataset[FeatureEvent], ttlMillis: Long,
+                        lateness: String = "0 seconds"): Dataset[LiveFeature] = {
+    implicit val enc: Encoder[LiveFeature] = Encoders.product[LiveFeature]
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val fe: Encoder[FeatureEvent] = Encoders.product[FeatureEvent]
+    val withTime = events.toDF()
+      .withColumn("__et", timestamp_millis(col("tsMillis")))
+      .withWatermark("__et", lateness)
+      .as[FeatureEvent]
+    withTime.groupByKey(_.id).mapGroupsWithState(
+      GroupStateTimeout.EventTimeTimeout)(
+      (id: String, batch: Iterator[FeatureEvent], state: GroupState[LiveFeature]) => {
+        if (state.hasTimedOut) {
+          val last = state.get
+          state.remove()
+          LiveFeature(id, last.lon, last.lat, last.tsMillis, alive = false)
+        } else {
+          val latest = batch.toSeq.maxBy(_.tsMillis)
+          val next =
+            if (latest.op == "delete") LiveFeature(id, latest.lon, latest.lat, latest.tsMillis, alive = false)
+            else LiveFeature(id, latest.lon, latest.lat, latest.tsMillis, alive = true)
+          if (next.alive) {
+            state.update(next)
+            // timers must be set beyond the current watermark
+            state.setTimeoutTimestamp(math.max(latest.tsMillis + ttlMillis,
+              state.getCurrentWatermarkMs + 1))
+          } else if (state.exists) state.remove()
+          next
+        }
+      })
+  }
+
   /** TTL view filter (write-TTL expiry as of `asOfMillis`). */
   def withTtl(live: Dataset[LiveFeature], ttlMillis: Long, asOfMillis: Long): Dataset[LiveFeature] =
     live.filter(f => f.alive && asOfMillis - f.tsMillis <= ttlMillis)

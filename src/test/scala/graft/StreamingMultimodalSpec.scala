@@ -54,6 +54,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(!latest("b").alive)
   }
 
+  test("live view: event-time TTL physically evicts state and emits tombstones (T1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ttl").toString
+    StreamingMultimodalSpec.sink.clear()
+    val input = MemoryStream[FeatureEvent]
+    def live = LiveView.liveStateEvicting(input.toDS(), ttlMillis = 5000L).toDF()
+    // batch 1: key "a" written at t=1s (timer armed for t=6s)
+    input.addData(FeatureEvent("a", 1.0, 1.0, 1000L, "upsert"))
+    drain(ckpt, live)
+    // batch 2: key "b" at t=100s advances the watermark past a's timer
+    input.addData(FeatureEvent("b", 2.0, 2.0, 100000L, "upsert"))
+    drain(ckpt, live)
+    // batch 3: any further data lets the timer fire (watermark now 100s)
+    input.addData(FeatureEvent("c", 3.0, 3.0, 200000L, "upsert"))
+    drain(ckpt, live)
+    val rows = collected.map(r => LiveFeature(r.getString(0), r.getDouble(1),
+      r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    val aRows = rows.filter(_.id == "a")
+    assert(aRows.exists(_.alive), "initial upsert emitted")
+    assert(aRows.exists(!_.alive), s"TTL eviction tombstone for 'a' missing: $rows")
+    // the youngest key's timer (200s + ttl) is beyond the final watermark
+    // (200s) — its state survives
+    assert(rows.filter(_.id == "c").forall(_.alive))
+  }
+
   test("live view: bbox filter over the changelog (T3)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt3").toString
