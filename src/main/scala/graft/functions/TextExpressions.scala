@@ -116,3 +116,34 @@ case class Hamming64(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** dms_to_deg(str) → decimal degrees; null for unparseable/out-of-range
+  * (reference F9 DMS parsing, csv/DMS.scala:44-67). */
+case class DmsToDeg(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any): Any = {
+    val v = TextRT.dmsToDeg(t.asInstanceOf[UTF8String].toString)
+    if (java.lang.Double.isNaN(v)) null else v
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} = graft.functions.TextRT.dmsToDeg($t.toString());
+         |if (java.lang.Double.isNaN(${ev.value})) ${ev.isNull} = true;
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** deg_to_dms(deg, isLat) → "d:mm:ss.ssH" string (reference DMS.toString). */
+case class DegToDms(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(d: Any, isLat: Any): Any =
+    UTF8String.fromString(TextRT.degToDms(d.asInstanceOf[Double], isLat.asInstanceOf[Boolean]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, b) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.functions.TextRT.degToDms($d, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -195,6 +195,39 @@ object TextRT {
     0.4 * alphaRatio + 0.3 * lenScore + 0.3 * wordLenScore
   }
 
+  private val DmsRegex = "(-?)(\\d{2,3}):?(\\d{2}):?(\\d{2}(?:\\.\\d+)?)([NnSsEeWw])".r
+
+  /**
+   * DMS ("38:04:31.17N" / "380431.17N" / signed) → decimal degrees
+   * (reference F9: geomesa-core/.../csv/DMS.scala:44-67 — same regex, sign
+   * flips the hemisphere, bounds checked). Returns NaN for unparseable or
+   * out-of-range input (the Catalyst expression surfaces that as null —
+   * SQL-idiomatic, where the reference throws).
+   */
+  def dmsToDeg(s: String): Double = s match {
+    case DmsRegex(sign, degS, minS, secS, hemiS) =>
+      val hUp = hemiS.head.toUpper
+      val baseSign = if (hUp == 'N' || hUp == 'E') 1 else -1
+      val effSign = if (sign.isEmpty) baseSign else -baseSign
+      val maxDeg = if (hUp == 'N' || hUp == 'S') 90 else 180
+      val d = degS.toInt; val m = minS.toInt; val sec = secS.toDouble
+      val v = d + (m + sec / 60.0) / 60.0
+      if (m >= 60 || sec >= 60.0 || v >= maxDeg) Double.NaN else effSign * v
+    case _ => Double.NaN
+  }
+
+  /** Decimal degrees → DMS string (reference DMS.toString format:
+    * "d:mm:ss.ssH"). `isLat` selects N/S vs E/W. */
+  def degToDms(deg: Double, isLat: Boolean): String = {
+    val hemi = if (isLat) { if (deg >= 0) 'N' else 'S' } else { if (deg >= 0) 'E' else 'W' }
+    val a = math.abs(deg)
+    val d = a.toInt
+    val mFull = (a - d) * 60.0
+    val m = mFull.toInt
+    val s = (mFull - m) * 60.0
+    f"$d%d:$m%02d:$s%05.2f$hemi%s"
+  }
+
   /** BPE-ish token count: words + digit runs + punctuation marks. */
   def tokenCount(text: String): Int = {
     var count = 0

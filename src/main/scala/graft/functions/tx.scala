@@ -20,6 +20,8 @@ object tx {
   def ngramJaccard(a: Column, b: Column, n: Column): Column =
     col(NgramJaccard(ex(a), ex(b), ex(n)))
   def hamming(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
+  def dmsToDeg(s: Column): Column = col(DmsToDeg(ex(s)))
+  def degToDms(deg: Column, isLat: Column): Column = col(DegToDms(ex(deg), ex(isLat)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -32,5 +34,7 @@ object tx {
     reg.createOrReplaceTempFunction("token_count", es => TokenCount(es.head), "built-in")
     reg.createOrReplaceTempFunction("ngram_jaccard", es => NgramJaccard(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("hamming", es => Hamming64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dms_to_deg", es => DmsToDeg(es.head), "built-in")
+    reg.createOrReplaceTempFunction("deg_to_dms", es => DegToDms(es(0), es(1)), "built-in")
   }
 }

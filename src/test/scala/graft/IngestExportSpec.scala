@@ -56,6 +56,59 @@ class IngestExportSpec extends SparkSpec {
     assert(parsed.toSeq === Seq("LineString", "Polygon", "MultiPolygon", "GeometryCollection"))
   }
 
+  test("avro ingest: container file round-trips typed fields (S7)") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema: Schema = SchemaBuilder.record("page").fields()
+      .requiredLong("id").requiredString("name")
+      .requiredDouble("lon").requiredDouble("lat")
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro")
+    val f = dir.resolve("part-0.avro").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    (0 until 25).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong); rec.put("name", s"page$i")
+      rec.put("lon", i * 1.5 - 10); rec.put("lat", i * 0.5)
+      w.append(rec)
+    }
+    w.close()
+    val df = IngestExport.avro(spark, dir.toString)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "lon", "lat"))
+    assert(df.count() === 25L)
+    val row = df.orderBy("id").head()
+    assert(row.getLong(0) === 0L && row.getString(1) === "page0" && row.getDouble(2) === -10.0)
+    // the ingested frame joins the spatial path like any other source
+    val withGeom = df.withColumn("geom", graft.functions.st.point(col("lon"), col("lat")))
+    assert(withGeom.filter(graft.functions.st.contains(
+      graft.functions.st.makeBox(lit(-11.0), lit(-1.0), lit(0.0), lit(3.0)), col("geom"))).count() > 0)
+  }
+
+  test("DMS parsing: reference format parity, bad input -> null (F9)") {
+    import graft.functions.TextRT
+    // reference DMSTest vectors (csv/DMSTest.scala): 38:04:31.17N with and
+    // without colons; leading sign flips hemisphere
+    val expected = 38.0 + (4 + 31.17 / 60.0) / 60.0
+    assert(math.abs(TextRT.dmsToDeg("38:04:31.17N") - expected) < 1e-12)
+    assert(math.abs(TextRT.dmsToDeg("380431.17N") - expected) < 1e-12)
+    assert(math.abs(TextRT.dmsToDeg("-38:04:31.17S") - expected) < 1e-12) // sign flips S->N
+    assert(math.abs(TextRT.dmsToDeg("122:20:15.5W") - -(122 + (20 + 15.5 / 60) / 60)) < 1e-12)
+    assert(TextRT.dmsToDeg("38:04:61.17N").isNaN) // seconds out of range
+    assert(TextRT.dmsToDeg("98:04:31.17N").isNaN) // > 90 lat
+    assert(TextRT.dmsToDeg("garbage").isNaN)
+    // SQL surface: null for bad input, value for good
+    val rows = spark.sql(
+      "SELECT dms_to_deg('38:04:31.17N') AS a, dms_to_deg('nope') AS b, deg_to_dms(38.0753250D, true) AS c").head()
+    assert(math.abs(rows.getDouble(0) - expected) < 1e-12)
+    assert(rows.isNullAt(1))
+    assert(rows.getString(2).endsWith("N") && rows.getString(2).startsWith("38:"))
+    // round-trip
+    val rt = TextRT.dmsToDeg(TextRT.degToDms(expected, isLat = true))
+    assert(math.abs(rt - expected) < 1e-4) // 2-decimal seconds precision
+  }
+
   test("lon/lat domain enforcement: reject drops, clamp folds into range") {
     val df = Seq((1L, 10.0, 20.0), (2L, -200.0, 10.0), (3L, 20.0, 95.0)).toDF("id", "lon", "lat")
     val rejected = IngestExport.enforceLonLatDomain(df, "lon", "lat")
