@@ -190,6 +190,25 @@ object CellLayout {
     pruned.withColumn("bucket", col("bucket").cast("long"))
   }
 
+  /**
+   * Spark-bucketed catalog table keyed on the coarse cell: every table
+   * written this way hash-buckets rows by `bucket` into `numBuckets` files
+   * with an in-file sort on the fine cell key. Cell equi-joins BETWEEN two
+   * such tables (or self-joins) are co-located — Catalyst plans a
+   * SortMergeJoin with NO shuffle exchange on either side, which is the
+   * cluster-scale answer to "the same spatial join runs every day": pay
+   * the partitioning once at write, never again at read
+   * (the reference's analog: both tables pre-sorted by the same key
+   * layout in Accumulo, AccumuloDataStore.scala:100-111).
+   */
+  def writeBucketedTable(df: DataFrame, tableName: String, numBuckets: Int = 64): Unit = {
+    require(df.columns.contains("bucket") && df.columns.contains("cell"),
+      "call withCellKeys first")
+    df.write.format("parquet")
+      .bucketBy(numBuckets, "bucket").sortBy("bucket", "cell")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
   /** Count estimate from the manifest — no scan (reference A6: record-table
     * entry count as the estimate, AccumuloFeatureSource.scala:57-80). */
   def countEstimate(outDir: String): Long = readManifest(outDir).values.map(_.rows).sum

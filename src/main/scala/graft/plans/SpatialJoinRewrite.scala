@@ -16,18 +16,31 @@ import org.apache.spark.sql.types.LongType
  * strategy-choice role of the reference's QueryStrategyDecider,
  * geomesa-core/.../index/QueryStrategyDecider.scala:31-110).
  *
- * Soundness scope: the probe side must be a CONSTRUCTED point
- * (`st_point(x, y)`) — a point's containing cell at each ladder level is
- * unique, so polygon-side adaptive cover + point-side ancestor ladder
- * matches every qualifying pair on exactly one cell: no duplicates, no
- * dedupe, and the original predicate is kept for exact refinement.
- * Arbitrary-geometry probes are left untouched (multi-cell probes would
- * need join-output dedupe, which is unsound under SQL bag semantics).
+ * Soundness scope, shape 1 (point probe): the probe side must be a
+ * CONSTRUCTED point (`st_point(x, y)`) — a point's containing cell at
+ * each ladder level is unique, so polygon-side adaptive cover +
+ * point-side ancestor ladder matches every qualifying pair on exactly one
+ * cell: no duplicates, no dedupe, and the original predicate is kept for
+ * exact refinement.
+ *
+ * Shape 2 (geometry × geometry intersects): rewritten through the XZ2
+ * single-cell extent index — one side encodes its envelope to exactly ONE
+ * cell (`xz2_encode`), the other explodes the (distinct) query cover, so
+ * every qualifying pair again matches at most once: dedup-safe under SQL
+ * bag semantics where a Z-cover×Z-cover join would not be. The fixed
+ * rewrite resolution `XzRewriteRes` keeps the cumulative cover of ANY
+ * window (even world-sized) under the enumeration budget, so the rewrite
+ * can never trade a cartesian plan for a runtime overflow; finer control
+ * is [[graft.ops.SpatioTemporal.xzIntersectsJoin]]'s plan-time degrade.
  */
 object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
   private val Levels = graft.ops.SpatialJoin.DefaultLevels
   private val Budget = graft.ops.SpatialJoin.DefaultBudget
+  /** Fixed XZ2 res for the SQL rewrite: Σ_{r≤7} 4^r ≈ 21.8k cells covers a
+    * world-sized window and stays under the 65536 enumeration budget, so
+    * the rewrite is overflow-proof for ANY literal/column window. */
+  private val XzRewriteRes = 7
 
   /** (coverGeom, pointX, pointY) when the predicate is a supported
     * geom-contains-point shape. */
@@ -74,8 +87,39 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
         }
       }.headOption
 
+      // shape 2: geometry × geometry intersects (non-point or unknown
+      // probe shape) → XZ2 single-cell equi-join, no dedupe needed
+      lazy val xzHit = if (hasEqui || hit.isDefined) None else cs.flatMap {
+        case StIntersects(a, b) if asCoverPoint(StIntersects(a, b)).isEmpty =>
+          if (a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+              b.references.nonEmpty && b.references.subsetOf(right.outputSet))
+            Some((a, b))
+          else if (a.references.nonEmpty && a.references.subsetOf(right.outputSet) &&
+              b.references.nonEmpty && b.references.subsetOf(left.outputSet))
+            Some((b, a))
+          else None
+        case _ => None
+      }.headOption
+
       hit match {
-        case None => j
+        case None => xzHit match {
+          case None => j
+          case Some((gl, gr)) =>
+            // cover-explode the statistically smaller side; encode the other
+            val coverLeft = left.stats.sizeInBytes <= right.stats.sizeInBytes
+            val (encSide, encGeom, covSide, covGeom) =
+              if (coverLeft) (right, gr, left, gl) else (left, gl, right, gr)
+            val ecell = Alias(Xz2Encode(encGeom, Literal(XzRewriteRes)), "__graft_ecell")()
+            val encProj = Project(encSide.output :+ ecell, encSide)
+            val ccell = AttributeReference("__graft_ccell", LongType, nullable = false)()
+            val covGen = Generate(
+              Explode(Xz2QueryCover(covGeom, Literal(XzRewriteRes))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(ccell), child = covSide)
+            val newCond = And(EqualTo(ecell.toAttribute, ccell), cond)
+            val (nl, nr) = if (coverLeft) (covGen, encProj) else (encProj, covGen)
+            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        }
         case Some((polySide, pointSide, g, x, y, swapped)) =>
           val levelsLit = CreateArray(Levels.toSeq.map(Literal(_)))
           val pcell = AttributeReference("__graft_pcell", LongType, nullable = false)()

@@ -62,6 +62,39 @@ class CellLayoutSpec extends SparkSpec {
       "resume after mid-commit kill must not duplicate rows")
   }
 
+  test("bucketed tables: cell equi-join between two bucketed tables plans with NO shuffle") {
+    Seq("graft_bucketed_a", "graft_bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        val w = java.nio.file.Files.walk(loc)
+        try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        finally w.close()
+      }
+    }
+    CellLayout.writeBucketedTable(keyedPages, "graft_bucketed_a", numBuckets = 16)
+    CellLayout.writeBucketedTable(keyedPages, "graft_bucketed_b", numBuckets = 16)
+    // disable broadcast so the planner must pick the co-located sort-merge
+    // path (at cluster scale both sides are far beyond broadcast anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("graft_bucketed_a").select(col("doc_id").as("a_id"), col("bucket"))
+      val b = spark.table("graft_bucketed_b").select(col("doc_id").as("b_id"), col("bucket"))
+      // join keys == bucket spec: both scans read co-located buckets
+      val j = a.join(b, Seq("bucket"))
+      val phys = j.queryExecution.executedPlan.toString()
+      assert(phys.contains("SortMergeJoin"), phys.take(1500))
+      assert(!phys.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${phys.take(1500)}")
+      assert(phys.contains("Bucketed: true"), phys.take(1500))
+      // exact-match pairs survive the fan-out (sanity on results)
+      assert(j.filter(col("a_id") === col("b_id")).count() === keyedPages.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE graft_bucketed_a"); spark.sql("DROP TABLE graft_bucketed_b")
+  }
+
   test("read with queryBox prunes directory partitions (PartitionFilters)") {
     val out = freshDir()
     CellLayout.write(keyedPages, out, sfDir)

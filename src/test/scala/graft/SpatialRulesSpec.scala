@@ -112,19 +112,39 @@ class SpatialRulesSpec extends SparkSpec {
     }
   }
 
-  test("SpatialJoinRewrite: non-point probes and existing equi-joins untouched") {
+  test("SpatialJoinRewrite shape 2: geometry×geometry intersects becomes an XZ2 equi-join, no dupes") {
     installed {
-      // geometry-column probe (not a constructed point): stays a loop join
       val nb = graft.pages.WebPages.nationBoxes(spark, sfDir).select("n_nationkey", "nation_geom")
       val rg = graft.pages.WebPages.regions(spark, sfDir).select("region_id", "region_geom")
       nb.createOrReplaceTempView("nb"); rg.createOrReplaceTempView("rg")
       val theta = spark.sql(
         "SELECT n_nationkey, region_id FROM nb JOIN rg ON st_intersects(nation_geom, region_geom)")
       val plan = theta.queryExecution.optimizedPlan.toString()
-      assert(!plan.contains("__graft_"), plan.take(800))
-      // equi-join with a residual spatial predicate: not rewritten either
+      assert(plan.contains("__graft_ecell") && plan.contains("__graft_ccell"), plan.take(1200))
+      val phys = theta.queryExecution.executedPlan.toString()
+      assert(!phys.contains("NestedLoopJoin") && !phys.contains("CartesianProduct"), phys.take(800))
+      // bag semantics preserved: single-cell extent index → no duplicate pairs
+      val got = theta.collect().map(r => (r.get(0) match {
+        case l: java.lang.Long => l.longValue(); case n: java.lang.Number => n.longValue()
+      }, r.getLong(1)))
+      assert(got.length === got.toSet.size, "rewrite introduced duplicate pairs")
+      val expect = graft.ops.SpatioTemporal.xzIntersectsJoin(nb, "nation_geom", rg, "region_geom")
+        .select("n_nationkey", "region_id").collect().map(r => (r.get(0) match {
+          case l: java.lang.Long => l.longValue(); case n: java.lang.Number => n.longValue()
+        }, r.getLong(1))).toSet
+      assert(got.toSet === expect)
+      assert(expect.nonEmpty)
+    }
+  }
+
+  test("SpatialJoinRewrite: existing equi-joins untouched") {
+    installed {
+      val nb = graft.pages.WebPages.nationBoxes(spark, sfDir).select("n_nationkey", "nation_geom")
+      val rg = graft.pages.WebPages.regions(spark, sfDir).select("region_id", "region_geom")
+      nb.createOrReplaceTempView("nb2"); rg.createOrReplaceTempView("rg2")
+      // equi-join with a residual spatial predicate: not rewritten
       val equi = spark.sql(
-        """SELECT n_nationkey, region_id FROM nb JOIN rg
+        """SELECT n_nationkey, region_id FROM nb2 JOIN rg2
           |ON n_nationkey = region_id AND st_intersects(nation_geom, region_geom)""".stripMargin)
       assert(!equi.queryExecution.optimizedPlan.toString().contains("__graft_"))
     }
