@@ -49,10 +49,15 @@ object Dedup {
     //     cheap shuffle of (band, count)). Pairs in such a mega-bucket are
     //     near-certainly co-bucketed in another, sub-cap band; the cap
     //     bounds the worst case at maxBucket² per bucket instead of n².
+    // persist the COMPACT (id, band) frame: it feeds the count pre-pass and
+    // both self-join sides — without it the MinHash signatures (the
+    // expensive per-document work) would be recomputed three times. The
+    // cached rows are 16 bytes/band, orders of magnitude below the text.
     val sig = df.select(col(idName).as("id"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
       .filter(element_at(col("__sig"), 1) =!= lit(Long.MaxValue))
       .select(col("id"), explode(tx.lshBands(col("__sig"), lit(rowsPerBand))).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversized = sig.groupBy("band").count()
       .filter(col("count") > maxBucket).select("band")
     val pruned = sig.join(broadcast(oversized), Seq("band"), "left_anti")
@@ -80,13 +85,18 @@ object Dedup {
     // pages — ubiquitous in a web corpus): excluded from banding, and any
     // block bucket over `maxBucket` is dropped (same guard rationale as
     // minhashPairs: bounds the self-join at maxBucket² per bucket).
-    val withSig = df.select(col(idName).as("id"), tx.simhash(col(textName)).as("sig"))
+    // ONE scan emits all 4 rotated blocks per row (posexplode of a 4-array)
+    // instead of a 4-way self-union re-reading and re-hashing the corpus;
+    // the compact (id, sig, block) frame is persisted for the count
+    // pre-pass + both self-join sides
+    val blockArr = array((0 until 4).map { b =>
+      concat(lit(b.toString), lit(":"),
+        (shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))).cast("string"))
+    }: _*)
+    val blocks = df.select(col(idName).as("id"), tx.simhash(col(textName)).as("sig"))
       .filter(col("sig") =!= 0L)
-    val blocks = (0 until 4).map { b =>
-      withSig.select(col("id"), col("sig"),
-        concat(lit(b.toString), lit(":"),
-          (shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))).cast("string")).as("block"))
-    }.reduce(_ union _)
+      .select(col("id"), col("sig"), explode(blockArr).as("block"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversized = blocks.groupBy("block").count()
       .filter(col("count") > maxBucket).select("block")
     val pruned = blocks.join(broadcast(oversized), Seq("block"), "left_anti")
