@@ -7,17 +7,25 @@ import org.apache.spark.sql.functions._
 
 /**
  * Multimodal (image/audio/video) columns as opaque binary + typed metadata.
- * The Spark-side plumbing — schema, partition-friendly narrow transforms,
- * frame batch shape — is real and tested; the codec decode itself is
- * STUBBED with deterministic byte-level stand-ins (crc-derived dimensions,
- * byte histograms, even-slice frame sampling) because no image/audio
- * libraries exist in this environment. Swap `decodeMeta`/`features` bodies
- * for real codecs without touching the pipeline shape.
+ * The IMAGE branch is REAL: `imageMeta`/`imageResize`/`imageLumaHist` ride
+ * the JDK's built-in `javax.imageio` codecs (PNG/JPEG/BMP/GIF) — header
+ * parse, bilinear resize, pixel-luminance features, all null-tolerant for
+ * the truncated files a web corpus is full of. Audio/video decode remains
+ * a deterministic byte-level stand-in (no JDK codecs exist for them);
+ * their pipeline shape — schema, narrow transforms, frame batching — is
+ * real and tested, so swapping in an external codec touches one function.
  */
 object Multimodal {
   private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     ColumnShim.column(e)
   private def ex(col: Column) = ColumnShim.expression(col)
+
+  // ---- REAL image branch (JDK javax.imageio) ----
+  def imageMeta(payload: Column): Column = graft.functions.mx.imageMeta(payload)
+  def imageResize(payload: Column, w: Int, h: Int): Column =
+    graft.functions.mx.imageResize(payload, lit(w), lit(h))
+  def imageLumaHist(payload: Column, bins: Int): Column =
+    graft.functions.mx.imageLumaHist(payload, lit(bins))
 
   def byteHistogram(payload: Column, bins: Int): Column =
     c(ByteHistogram(ex(payload), ex(lit(bins))))

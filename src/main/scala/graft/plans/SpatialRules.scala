@@ -128,6 +128,7 @@ object GraftExtensions {
     graft.functions.st.register(spark)
     graft.functions.tx.register(spark)
     graft.functions.vx.register(spark)
+    graft.functions.mx.register(spark)
     val current = spark.experimental.extraOptimizations
     val missing = SpatialRules.all.filterNot(r => current.exists(_ eq r))
     spark.experimental.extraOptimizations = current ++ missing

@@ -25,6 +25,7 @@ object SparkSpec {
     graft.functions.st.register(s)
     graft.functions.tx.register(s)
     graft.functions.vx.register(s)
+    graft.functions.mx.register(s)
     s
   }
 }

@@ -105,6 +105,45 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(visible === Set("fresh"))
   }
 
+  test("multimodal: REAL image decode/resize/luma-histogram via JDK imageio") {
+    import java.awt.image.BufferedImage
+    // generate genuine PNGs: left half black, right half white, per-row size
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val rows = Seq((1L, png(64, 32)), (2L, png(10, 10)),
+      (3L, "not an image".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+    val out = df.select(col("id"),
+        graft.ops.Multimodal.imageMeta(col("payload")).as("meta"),
+        graft.ops.Multimodal.imageResize(col("payload"), 8, 8).as("small"),
+        graft.ops.Multimodal.imageLumaHist(col("payload"), 4).as("hist"))
+      .orderBy("id").collect()
+    // real header parse: exact dimensions + format
+    assert(out(0).getStruct(1).getInt(0) === 64 && out(0).getStruct(1).getInt(1) === 32)
+    assert(out(0).getStruct(1).getString(2) === "png")
+    // resize output decodes back at the target size
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]](2)))
+    assert(resized.getWidth === 8 && resized.getHeight === 8)
+    // half-black/half-white → mass in the darkest and brightest luma bins
+    val hist = out(0).getSeq[Long](3)
+    assert(hist.length === 4)
+    assert(hist.head + hist.last === 64L * 32)
+    assert(hist.head === 64L * 32 / 2)
+    // undecodable bytes → null, never an exception
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3))
+    // SQL surface
+    val sqlMeta = spark.sql(s"SELECT image_meta(X'${rows(1)._2.map("%02x".format(_)).mkString}').width")
+      .head().getInt(0)
+    assert(sqlMeta === 10)
+  }
+
   test("multimodal: media table schema, deterministic stub decode, features") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val media = Multimodal.mediaTable(docs)
