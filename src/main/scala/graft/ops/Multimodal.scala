@@ -27,6 +27,11 @@ object Multimodal {
   def imageLumaHist(payload: Column, bins: Int): Column =
     graft.functions.mx.imageLumaHist(payload, lit(bins))
 
+  // ---- REAL audio branch (JDK javax.sound.sampled: WAV/AU/AIFF) ----
+  def audioMeta(payload: Column): Column = graft.functions.mx.audioMeta(payload)
+  def audioRmsEnvelope(payload: Column, bins: Int): Column =
+    graft.functions.mx.audioRmsEnvelope(payload, lit(bins))
+
   def byteHistogram(payload: Column, bins: Int): Column =
     c(ByteHistogram(ex(payload), ex(lit(bins))))
   def fingerprint(payload: Column): Column = c(BinFingerprint(ex(payload)))

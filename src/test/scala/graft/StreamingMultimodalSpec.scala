@@ -144,6 +144,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(sqlMeta === 10)
   }
 
+  test("multimodal: REAL audio decode (WAV) meta + RMS envelope") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit mono 8kHz WAV: silence then a loud square wave
+    def wav(): Array[Byte] = {
+      val n = 8000
+      val pcm = new Array[Byte](n * 2)
+      (n / 2 until n).foreach { i =>
+        val v = if (i % 20 < 10) 12000 else -12000
+        pcm(i * 2) = (v & 0xff).toByte; pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val df = Seq((1L, wav()), (2L, "noise".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = df.select(col("id"),
+        graft.ops.Multimodal.audioMeta(col("payload")).as("meta"),
+        graft.ops.Multimodal.audioRmsEnvelope(col("payload"), 4).as("env"))
+      .orderBy("id").collect()
+    val meta = out(0).getStruct(1)
+    assert(meta.getInt(0) === 8000 && meta.getInt(1) === 1 && meta.getLong(2) === 8000L)
+    val env = out(0).getSeq[Long](2)
+    // first half silent, second half loud
+    assert(env(0) === 0L && env(1) === 0L && env(2) > 1000L && env(3) > 1000L, env)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
   test("multimodal: media table schema, deterministic stub decode, features") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val media = Multimodal.mediaTable(docs)
