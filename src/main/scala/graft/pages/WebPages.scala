@@ -136,6 +136,24 @@ object WebPages {
       .withColumn("geom", st.point($("lon"), $("lat")))
   }
 
+  /** Deterministic synthetic documents table (doc_id, text) of arbitrary
+    * size for dedup benchmarks: ~20 dictionary words per doc; every
+    * 17th doc near-duplicates its predecessor (same base words, distinct
+    * tail token → shingle-Jaccard ≈ 0.73, above the 0.6 near-dup bar but
+    * below exact equality). */
+  def syntheticDocs(spark: SparkSession, rows: Long, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 4
+    val dict = typedlit((0 until 500).map(i => f"word$i%03d"))
+    spark.range(0, rows, 1, p)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 17 = 0 AND id > 0 THEN id - 1 ELSE id END AS seed")
+      .withColumn("text", concat_ws(" ",
+        (0 until 20).map(j =>
+          element_at(dict, (pmod(hash(col("seed") * 31 + j), lit(500)) + 1).cast("int"))) :+
+          concat(lit("tail"), (col("doc_id") % 7).cast("string")): _*))
+      .select("doc_id", "text")
+  }
+
   /** Synthetic track of arbitrary size (same shape as [[track]]). */
   def syntheticTrack(spark: SparkSession, rows: Long, partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 4

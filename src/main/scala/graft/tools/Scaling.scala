@@ -77,6 +77,29 @@ object Scaling {
             "doc_id", "lon", "lat", "sec",
             bufferDeg = 2.0, tolSec = 172800L, broadcastTrack = Some(true)).count()
         }
+        // the S2 cube-face tier must scale like the Z2 tier (same join shape,
+        // different cell math)
+        time("s2_contains_join", pageRows) {
+          import graft.functions.st
+          val level = 6
+          val polys = WebPages.regions(spark, sfDir)
+            .withColumn("__cell", explode(st.s2CoverBBox(
+              col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
+            .select("region_id", "region_geom", "__cell")
+          val pts = pages
+            .withColumn("__cell", st.s2Encode(col("lon"), col("lat"), lit(level)))
+            .select("doc_id", "geom", "__cell")
+          val joined = pts.join(broadcast(polys), Seq("__cell"), "inner")
+          joined.filter(st.contains(joined("region_geom"), joined("geom"))).count()
+        }
+        // LLM-pipeline tier: MinHash near-dup candidate generation + exact
+        // Jaccard verify end-to-end (CPU-bound signatures + band shuffle)
+        val docRows = math.max(1000000L, pageRows / 10)
+        time("minhash_dedup", docRows) {
+          graft.ops.Dedup.minhashPairs(
+            WebPages.syntheticDocs(spark, docRows, partitions = 128),
+            "text", "doc_id").count()
+        }
       } finally spark.stop()
     }
 
