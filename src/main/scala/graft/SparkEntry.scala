@@ -197,10 +197,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).orderBy("lang", "predicted")
     }),
     "q_quality_tokens" -> ((s, dir) => {
+      // quality + token count are arithmetic over character classes — the
+      // fixture text is ASCII, so a DuckDB regexp/replace oracle reproduces
+      // them bit-for-bit (fingerprints moved to q_fingerprints: custom
+      // rolling hashes have no SQL analog)
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), tx.qualityScore(col("text")).as("quality"),
-          tx.tokenCount(col("text")).as("n_tokens"),
-          tx.fingerprint(col("text"), lit(16)).as("fp"),
+          tx.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_fingerprints" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), tx.fingerprint(col("text"), lit(16)).as("fp"),
           tx.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
@@ -512,6 +520,36 @@ object SparkEntry {
          |s3 AS (SELECT doc_id, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
          |s4 AS (SELECT doc_id, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3)
          |SELECT doc_id, ((x | (y << 1)) << 5) | 8 AS cell FROM s4 ORDER BY doc_id, cell""".stripMargin,
+    "q_quality_tokens" ->
+      """SELECT doc_id,
+        |  4e-1 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) +
+        |  3e-1 * (least(1e0, length(text) / 5e2)) +
+        |  3e-1 * (CASE WHEN (CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) /
+        |                     ((length(text) - length(replace(text, ' ', ''))) + 1)) >= 3e0
+        |               AND  (CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) /
+        |                     ((length(text) - length(replace(text, ' ', ''))) + 1)) <= 12e0
+        |          THEN 1e0 ELSE 3e-1 END) AS quality,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+        |       len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_guess" -> {
+      // generated from the SAME stopword lists the engine uses: per-language
+      // non-overlapping occurrence counts via single-pass replace; argmax
+      // with the engine's en>de>fr>es tie order
+      def score(lang: String): String =
+        graft.functions.TextRT.stopwords(lang).map { w =>
+          s"((length(t2) - length(replace(t2, '$w', ''))) // ${w.length})"
+        }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t2 FROM documents),
+         |s AS (SELECT doc_id, lang, ${score("en")} AS s_en, ${score("de")} AS s_de,
+         |             ${score("fr")} AS s_fr, ${score("es")} AS s_es FROM t),
+         |p AS (SELECT lang, CASE
+         |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted FROM s)
+         |SELECT lang, predicted, COUNT(*) AS n FROM p
+         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    },
     "q_density_polys" ->
       s"""WITH $CTE_REGIONS
          |SELECT cx AS cell_x, cy AS cell_y, COUNT(*) AS n

@@ -149,14 +149,19 @@ object TextRT {
     inter.toDouble / (ga.size + gb.size - inter).toDouble
   }
 
-  private val stopwords: Map[String, Array[String]] = Map(
+  /** Stopword profiles (exposed so the DuckDB oracle SQL is generated from
+    * the same lists). */
+  val stopwords: Map[String, Array[String]] = Map(
     "en" -> Array(" the ", " and ", " of ", " to ", " in ", " is ", " that ", " it ", " with ", " for "),
     "de" -> Array(" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein ", " mit ", " auf ", " von "),
     "fr" -> Array(" le ", " la ", " les ", " et ", " est ", " des ", " une ", " dans ", " que ", " pour "),
     "es" -> Array(" el ", " la ", " los ", " y ", " es ", " en ", " que ", " una ", " por ", " con "))
 
   /** Stopword-profile language guess over {en,de,fr,es} (n-gram heuristic;
-   *  ties broken by fixed language order). */
+   *  ties broken by fixed language order). Occurrence counting is
+   *  NON-overlapping (advance past each match) — the single-pass replace
+   *  semantics plain SQL can reproduce, so the gate query is
+   *  oracle-checkable. */
   def langGuess(text: String): String = {
     val t = " " + text.toLowerCase + " "
     var best = "en"; var bestScore = -1
@@ -165,8 +170,9 @@ object TextRT {
       val words = stopwords(lang)
       var i = 0
       while (i < words.length) {
-        var idx = t.indexOf(words(i))
-        while (idx >= 0) { score += 1; idx = t.indexOf(words(i), idx + 1) }
+        val w = words(i)
+        var idx = t.indexOf(w)
+        while (idx >= 0) { score += 1; idx = t.indexOf(w, idx + w.length) }
         i += 1
       }
       if (score > bestScore) { bestScore = score; best = lang }
