@@ -520,6 +520,27 @@ object SparkEntry {
          |s3 AS (SELECT doc_id, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
          |s4 AS (SELECT doc_id, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3)
          |SELECT doc_id, ((x | (y << 1)) << 5) | 8 AS cell FROM s4 ORDER BY doc_id, cell""".stripMargin,
+    "q_dedup_minhash" ->
+      // GROUND-TRUTH oracle: DuckDB computes the exact all-pairs trigram-
+      // Jaccard >= 0.6 count; matching it proves the LSH candidate
+      // generation reaches 100% recall on this corpus (the exact-verify
+      // step already guarantees zero false positives)
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+        |  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(gs) AS g FROM tri),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(gs) AS n FROM tri)
+        |SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs FROM inter
+        |JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 6e-1""".stripMargin,
+    "q_dedup_embedding" ->
+      // same ground-truth shape for the embedding path: exact all-pairs
+      // cosine count at the gate threshold
+      """SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |AND list_cosine_similarity(a.embedding, b.embedding) >= 85e-2""".stripMargin,
     "q_quality_tokens" ->
       """SELECT doc_id,
         |  4e-1 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) +
