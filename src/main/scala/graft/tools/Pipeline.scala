@@ -30,8 +30,24 @@ object Pipeline {
     val pages = WebPages.pages(spark, sfDir)
       .select("doc_id", "url", "text", "lang", "lon", "lat", "sec")
 
+    // stage 1b: training-data filters — quality score + language ID
+    // (codegen'd expressions, narrow, no shuffle)
+    import graft.functions.tx
+    val scored = pages
+      .withColumn("quality", tx.qualityScore(col("text")))
+      .withColumn("lang_pred", tx.langGuess(col("text")))
+      .filter(col("quality") > 0.3)
+    println(s"PIPELINE_QUALITY_KEPT=${scored.count()} (of ${pages.count()})")
+
+    // stage 1c: near-duplicate removal — MinHash+LSH candidates, exact
+    // Jaccard verify, connected-component survivors
+    val deduped = graft.ops.Dedup.nearDupSurvivors(
+      scored, "doc_id",
+      graft.ops.Dedup.minhashPairs(scored, "text", "doc_id"), "id_a", "id_b")
+    println(s"PIPELINE_DEDUP_SURVIVORS=${deduped.count()}")
+
     // stage 2: cell-keyed checkpointed write (resumable; manifest metrics)
-    val keyed = CellLayout.withCellKeys(pages, col("lon"), col("lat"), col("doc_id"))
+    val keyed = CellLayout.withCellKeys(deduped, col("lon"), col("lat"), col("doc_id"))
     val manifest = CellLayout.write(keyed, outDir, inputPath = sfDir)
     println(s"PIPELINE_BUCKETS=${manifest.size}")
     println(s"PIPELINE_ROWS=${CellLayout.countEstimate(outDir)}")
