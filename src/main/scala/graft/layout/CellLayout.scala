@@ -133,12 +133,21 @@ object CellLayout {
         .filter(col("bucket").isin(bs: _*))
         .groupBy("bucket").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      bs.foreach { b =>
-        // bucket dirs may nest under day=… partitions — walk for them
+      // ONE walk per wave (bucket dirs may nest under day=… partitions):
+      // group the parquet files by their bucket dir — a per-bucket walk
+      // would be O(buckets × files) driver-side at cluster bucket counts
+      val byBucket: Map[Long, Array[String]] = {
         val walk = Files.walk(Paths.get(outDir))
-        val files = try walk.toArray.map(_.toString)
-          .filter(p => p.contains(s"bucket=$b/") && p.endsWith(".parquet"))
+        val files = try walk.toArray.map(_.toString).filter(_.endsWith(".parquet"))
         finally walk.close()
+        val pat = java.util.regex.Pattern.compile("bucket=(\\d+)/")
+        files.flatMap { f =>
+          val m = pat.matcher(f)
+          if (m.find()) Some(m.group(1).toLong -> f) else None
+        }.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2) }
+      }
+      bs.foreach { b =>
+        val files = byBucket.getOrElse(b, Array.empty)
         val bytes = files.map(f => Files.size(Paths.get(f))).sum
         manifest += b -> BucketMeta(b, counts.getOrElse(b, 0L), bytes, files.length,
           w, inputPath, wallMs)

@@ -131,13 +131,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min("label").as("nlabel"))
+      // the change flag rides INSIDE the eagerly-checkpointed frame, so the
+      // convergence probe is a filter over materialized blocks — not a
+      // second join recomputing the round
+      val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")))
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"), newLabel.as("label"),
+          (newLabel =!= col("label")).as("__changed"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("__changed")).limit(1).count()
+      labels = next.drop("__changed")
       converged = changed == 0
       i += 1
     }
