@@ -57,7 +57,26 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
         if r.foldable && r.dataType == org.apache.spark.sql.types.DoubleType =>
       Some((StMakeBox(Seq(
         Subtract(ax, r), Subtract(ay, r), Add(ax, r), Add(ay, r))), bx, by))
+    // st_dwithin METERS form (the GeoMesa SparkSQL signature predicate):
+    // conservative per-row degree radius from the center's latitude —
+    // the same Geodesy.metersToDegrees formula as an expression tree
+    // (optimizer stage gets no type coercion, hence the explicit doubles)
+    case StDWithin(StPoint(ax, ay), StPoint(bx, by), r)
+        if r.foldable && r.dataType == org.apache.spark.sql.types.DoubleType =>
+      val deg = metersToDegExpr(r, ay)
+      Some((StMakeBox(Seq(
+        Subtract(ax, deg), Subtract(ay, deg), Add(ax, deg), Add(ay, deg))), bx, by))
     case _ => None
+  }
+
+  /** Expression tree of Geodesy.metersToDegrees(r, lat): max(lat-deg,
+    * lon-deg at the shrunk parallel) — over-covers, never under. */
+  private def metersToDegExpr(r: Expression, lat: Expression): Expression = {
+    val mPerDeg = Literal(111320.0)
+    val latDeg = Divide(r, mPerDeg)
+    val cosLat = Cos(ToRadians(Least(Seq(Literal(89.9), Abs(lat)))))
+    val lonDeg = Divide(r, Multiply(mPerDeg, Greatest(Seq(Literal(1e-6), cosLat))))
+    Greatest(Seq(latDeg, lonDeg))
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -137,6 +137,31 @@ class SpatialRulesSpec extends SparkSpec {
     }
   }
 
+  test("SpatialJoinRewrite: st_dwithin METERS joins become cell equi-joins, results identical") {
+    installed {
+      import spark.implicits._
+      val ctrs = Seq((1L, 10.0, 60.0), (2L, -75.0, 40.0)).toDF("cid", "clon", "clat")
+      val pts = Seq((1L, 10.5, 60.1), (2L, 12.0, 60.0), (3L, -74.9, 40.2), (4L, 100.0, 0.0))
+        .toDF("pid", "plon", "plat")
+      ctrs.createOrReplaceTempView("dw_c"); pts.createOrReplaceTempView("dw_p")
+      val q = spark.sql(
+        """SELECT cid, pid FROM dw_c JOIN dw_p
+          |ON st_dwithin(st_point(clon, clat), st_point(plon, plat), 50000.0D)""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString().contains("__graft_"),
+        "meters dwithin rewrite did not fire")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // oracle: the raw predicate over the cross product (rule leaves the
+      // exact predicate in place, so the rewrite may only prune, not add)
+      val expect = ctrs.crossJoin(pts)
+        .filter(graft.functions.st.dwithin(
+          graft.functions.st.point(col("clon"), col("clat")),
+          graft.functions.st.point(col("plon"), col("plat")), lit(50000.0)))
+        .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect)
+      assert(expect.nonEmpty)
+    }
+  }
+
   test("SpatialJoinRewrite: existing equi-joins untouched") {
     installed {
       val nb = graft.pages.WebPages.nationBoxes(spark, sfDir).select("n_nationkey", "nation_geom")
