@@ -59,6 +59,23 @@ class GridCellsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("polygon with hole: interior-ring cells are NOT covered") {
+    val wkt = "POLYGON ((-40 -40, 40 -40, 40 40, -40 40, -40 -40), (-20 -20, 20 -20, 20 20, -20 20, -20 -20))"
+    val got = run(wkt)
+    val poly = GeomCodec.fromWkt(wkt)
+    val expect = (for { cx <- 0L until W; cy <- 0L until H
+      val xc = Xmin + (cx + 0.5) * ((Xmax - Xmin) / W)
+      val yc = Ymin + (cy + 0.5) * ((Ymax - Ymin) / H)
+      if poly.contains(GeomCodec.point(xc, yc))
+    } yield (cx, cy)).toSet
+    assert(got === expect)
+    // sanity: a center well inside the hole is excluded
+    val holeCell = (math.floor((0 - Xmin) / (Xmax - Xmin) * W).toLong,
+      math.floor((0 - Ymin) / (Ymax - Ymin) * H).toLong)
+    assert(!got.contains(holeCell))
+    assert(got.nonEmpty)
+  }
+
   test("multi-geometries and points dispatch per component") {
     val got = run("GEOMETRYCOLLECTION (POINT (-75.5 40.5), MULTIPOINT ((10 50), (10 50)), LINESTRING (100 0, 100 0.1))")
     def cell(lon: Double, lat: Double) =

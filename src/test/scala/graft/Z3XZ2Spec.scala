@@ -112,4 +112,20 @@ class Z3XZ2Spec extends AnyFunSuite {
       assert(h.startsWith(GeoHashStr.encode(lon, lat, 4)))
     }
   }
+
+  test("xz2 maxResForBudget: chosen res never overflows queryCover for any window up to the stated size") {
+    import graft.functions.TextRT
+    def rnd(seed: Long): Double = (TextRT.mix64(seed) & 0xffffffffL).toDouble / 0x100000000L.toDouble
+    (0 until 60).foreach { i =>
+      val w = rnd(i * 5 + 1) * 359 + 0.01
+      val h = rnd(i * 5 + 2) * 179 + 0.01
+      val res = XZ2.maxResForBudget(w, h, maxRes = 12, budget = 65536)
+      // any window at most w x h anywhere in the world must fit the budget
+      val x0 = math.min(180 - w, rnd(i * 5 + 3) * 360 - 180)
+      val y0 = math.min(90 - h, rnd(i * 5 + 4) * 180 - 90)
+      val cover = XZ2.queryCover(x0, y0, x0 + w, y0 + h, res) // must not throw
+      assert(cover.length <= 65536)
+      assert(res >= 0 && res <= 12)
+    }
+  }
 }
