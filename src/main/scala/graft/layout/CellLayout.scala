@@ -218,6 +218,24 @@ object CellLayout {
       .mode("overwrite").saveAsTable(tableName)
   }
 
+  /**
+   * Hot cells from the manifest's per-bucket row counts — the PRODUCTION
+   * source for [[graft.ops.SpatialJoin.polygonsWithPoints]]'s
+   * `knownHotCells`: no sampling job, the skew statistics were paid for
+   * once at write time (the cost-model role of the reference's cardinality
+   * metadata, QueryStrategyDecider.scala:31-110). Returned ids are the
+   * coarse BucketRes cells; pass `res` to re-express them at the join's
+   * ladder levels (each hot bucket contributes its ancestor at `res` when
+   * res is coarser, or itself otherwise — ancestors of hot cells are hot).
+   */
+  def hotCellsFromManifest(outDir: String, minRows: Long,
+                           levels: Array[Int] = graft.ops.SpatialJoin.DefaultLevels): Array[Long] = {
+    val hot = readManifest(outDir).values.filter(_.rows > minRows).map(_.bucket).toArray
+    levels.filter(_ <= BucketRes)
+      .flatMap(r => hot.map(b => graft.index.Z2.parent(b, r)))
+      .distinct
+  }
+
   /** Count estimate from the manifest — no scan (reference A6: record-table
     * entry count as the estimate, AccumuloFeatureSource.scala:57-80). */
   def countEstimate(outDir: String): Long = readManifest(outDir).values.map(_.rows).sum

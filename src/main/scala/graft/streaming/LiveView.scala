@@ -113,6 +113,35 @@ object LiveView {
         f.lon >= xmin && f.lon <= xmax && f.lat >= ymin && f.lat <= ymax)
       .toDF()
 
+  /**
+   * Stream-static spatial join: a stream of points against a STATIC
+   * polygon table — the reference's "which region is this live feature
+   * in" enrichment. Same cell shape as the batch join
+   * ([[graft.ops.SpatialJoin.polygonsWithPoints]]): polygon covers are
+   * broadcast (the only sound build side for an unbounded stream), the
+   * stream side adds its ancestor-ladder cells as a narrow projection, so
+   * every micro-batch pays one broadcast-hash probe + exact refine and
+   * the stream NEVER shuffles.
+   */
+  def streamPointsInPolygons(stream: DataFrame, lonName: String, latName: String,
+                             polys: DataFrame, polyGeomName: String,
+                             levels: Array[Int] = graft.ops.SpatialJoin.DefaultLevels,
+                             budget: Int = graft.ops.SpatialJoin.DefaultBudget): DataFrame = {
+    import graft.functions.st
+    val polyCells = polys.withColumn("__pcell",
+      explode(st.cellCoverBudget(col(polyGeomName), lit(budget), typedlit(levels))))
+    val finest = levels.last
+    val keyed = stream
+      .withColumn("__fcell", st.z2Encode(col(lonName), col(latName), lit(finest)))
+      .withColumn("__qcell", explode(array(levels.map(r =>
+        if (r == finest) col("__fcell") else st.cellParent(col("__fcell"), lit(r))): _*)))
+      .drop("__fcell")
+    val joined = keyed.join(broadcast(polyCells), col("__qcell") === col("__pcell"), "inner")
+    joined.filter(st.contains(joined(polyGeomName),
+        st.point(joined(lonName), joined(latName))))
+      .drop("__pcell", "__qcell")
+  }
+
   /** Convenience: parse a raw streaming DataFrame into FeatureEvents. */
   def fromRaw(df: DataFrame): Dataset[FeatureEvent] = {
     implicit val enc: Encoder[FeatureEvent] = Encoders.product[FeatureEvent]

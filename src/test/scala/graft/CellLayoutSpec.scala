@@ -95,6 +95,25 @@ class CellLayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_bucketed_a"); spark.sql("DROP TABLE graft_bucketed_b")
   }
 
+  test("manifest-driven hot cells drive the salted join — no sampling job, same results") {
+    val out = freshDir()
+    CellLayout.write(keyedPages, out, sfDir)
+    val hot = CellLayout.hotCellsFromManifest(out, minRows = 0)
+    assert(hot.nonEmpty)
+    hot.foreach(c => assert(graft.index.Z2.resOf(c) <= CellLayout.BucketRes))
+    val regions = WebPages.regions(spark, sfDir).select("region_id", "region_geom")
+    val pts = WebPages.pages(spark, sfDir).select("doc_id", "geom")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("region_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = pairs(graft.ops.SpatialJoin.containsJoin(regions, "region_geom", pts, "geom"))
+    val got = pairs(graft.ops.SpatialJoin.polygonsWithPoints(
+      regions, col("region_geom"), pts, col("geom"),
+      df => graft.functions.st.contains(df("region_geom"), df("geom")),
+      broadcastPolys = Some(false), salts = 4, knownHotCells = Some(hot)))
+    assert(got === expect)
+    assert(expect.nonEmpty)
+  }
+
   test("read with queryBox prunes directory partitions (PartitionFilters)") {
     val out = freshDir()
     CellLayout.write(keyedPages, out, sfDir)

@@ -105,6 +105,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(visible === Set("fresh"))
   }
 
+  test("live view: stream-static spatial join — broadcast polygons, stream never shuffles") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ss").toString
+    StreamingMultimodalSpec.sink.clear()
+    val polys = Seq((1L, -10.0, -10.0, 10.0, 10.0), (2L, 100.0, 40.0, 120.0, 60.0))
+      .toDF("region_id", "x0", "y0", "x1", "y1")
+      .withColumn("region_geom", graft.functions.st.makeBox(col("x0"), col("y0"), col("x1"), col("y1")))
+      .select("region_id", "region_geom")
+    val input = MemoryStream[FeatureEvent]
+    val joined = LiveView.streamPointsInPolygons(
+        input.toDS().toDF(), "lon", "lat", polys, "region_geom")
+      .select("id", "region_id")
+    input.addData(
+      FeatureEvent("in1", 0.0, 0.0, 1L, "upsert"),     // region 1
+      FeatureEvent("in2", 110.0, 50.0, 2L, "upsert"),  // region 2
+      FeatureEvent("out", -50.0, -50.0, 3L, "upsert")) // no region
+    drain(ckpt, joined)
+    val got = collected.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("in1", 1L), ("in2", 2L)))
+  }
+
   test("multimodal: REAL image decode/resize/luma-histogram via JDK imageio") {
     import java.awt.image.BufferedImage
     // generate genuine PNGs: left half black, right half white, per-row size
