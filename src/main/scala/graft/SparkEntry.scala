@@ -85,16 +85,10 @@ object SparkEntry {
       // face Hilbert index (north star: "H3/S2 hierarchical cell
       // indexing") — must produce identical pairs to the Z2 path, so it
       // shares q_st_contains_join's oracle
-      val level = 6
-      val polys = regions(s, dir)
-        .withColumn("__cell", explode(st.s2CoverBBox(
-          col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
-        .select("region_id", "region_geom", "__cell")
-      val pts = pages(s, dir)
-        .withColumn("__cell", st.s2Encode(col("lon"), col("lat"), lit(level)))
-        .select("doc_id", "geom", "__cell")
-      val joined = pts.join(broadcast(polys), Seq("__cell"), "inner")
-      joined.filter(st.contains(joined("region_geom"), joined("geom")))
+      SpatialJoin.containsJoinS2(
+          regions(s, dir).select("region_id", "xmin", "ymin", "xmax", "ymax", "region_geom"),
+          "xmin", "ymin", "xmax", "ymax", "region_geom",
+          pages(s, dir).select("doc_id", "lon", "lat"), "lon", "lat")
         .select("region_id", "doc_id").orderBy("region_id", "doc_id")
     }),
     "q_knn_geo" -> ((s, dir) => {

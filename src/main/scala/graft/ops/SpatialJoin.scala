@@ -92,33 +92,76 @@ object SpatialJoin {
       }
     }
 
+    coverJoin(polyCells, pointCells, pmod(hash(pointGeom), lit(salts)),
+      refine, doBroadcast, salts, knownHotCells)
+  }
+
+  /**
+   * The strategy core shared by every cell family (Z2 ladder, S2): build
+   * side carries exploded cover cells in `__pcell`, probe side its cell(s)
+   * in `__qcell`. Broadcast when decided; otherwise shuffle both sides on
+   * the cell key with explicit hot-cell salting (north rule: skew handled
+   * explicitly; reference precedent: shard tier in the key layout,
+   * AccumuloDataStore.scala:100-111). Hot build rows replicate across all
+   * salts, hot probe rows scatter by `probeSalt`. Production hot cells
+   * come from write-time statistics (CellLayout.hotCellsFromManifest); the
+   * sampling job is the fallback for ad-hoc inputs.
+   */
+  private[graft] def coverJoin(
+      buildCells: DataFrame, probeCells: DataFrame, probeSalt: Column,
+      refine: DataFrame => Column, doBroadcast: Boolean, salts: Int,
+      knownHotCells: Option[Array[Long]]): DataFrame = {
     if (doBroadcast || salts <= 1) {
       // broadcast join: the big side never shuffles, hot cells are a
       // non-issue (every task probes the same hash table)
-      val buildSide = if (doBroadcast) broadcast(polyCells) else polyCells
-      val joined = pointCells.join(buildSide, col("__qcell") === col("__pcell"), "inner")
+      val buildSide = if (doBroadcast) broadcast(buildCells) else buildCells
+      val joined = probeCells.join(buildSide, col("__qcell") === col("__pcell"), "inner")
       joined.filter(refine(joined)).drop("__pcell", "__qcell")
     } else {
-      // shuffled path with explicit hot-cell salting (north rule: skew
-      // handled explicitly; reference precedent: shard tier in the key
-      // layout, AccumuloDataStore.scala:100-111). Hot cells from a probe-
-      // side sample histogram; the build row for a hot cell is replicated
-      // across all salts, probe rows scatter by content hash.
-      // production path: hot cells come from table statistics (the cell
-      // histogram the CellLayout manifest maintains); the sampling job is
-      // the fallback for ad-hoc inputs
-      val hot = knownHotCells.getOrElse(hotCells(pointCells, col("__qcell"), salts))
+      val hot = knownHotCells.getOrElse(hotCells(probeCells, col("__qcell"), salts))
       val hotLit = typedLit(hot.toSeq)
-      val saltedBuild = polyCells.withColumn("__psalt",
+      val saltedBuild = buildCells.withColumn("__psalt",
         explode(when(array_contains(hotLit, col("__pcell")),
           sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
-      val saltedProbe = pointCells.withColumn("__qsalt",
-        when(array_contains(hotLit, col("__qcell")),
-          pmod(hash(pointGeom), lit(salts))).otherwise(lit(0)))
+      val saltedProbe = probeCells.withColumn("__qsalt",
+        when(array_contains(hotLit, col("__qcell")), probeSalt).otherwise(lit(0)))
       val joined = saltedProbe.join(saltedBuild,
         col("__qcell") === col("__pcell") && col("__qsalt") === col("__psalt"), "inner")
       joined.filter(refine(joined)).drop("__pcell", "__qcell", "__psalt", "__qsalt")
     }
+  }
+
+  /**
+   * Point-in-polygon join through the S2 cube-face tier: polygons cover
+   * their bounding box at one S2 level (sampled + ring closure,
+   * S2Lite.coverBBox), points encode to exactly one cell — every
+   * qualifying pair matches once, no dedupe. Same broadcast-or-salted
+   * strategy choice as the Z2 path, so the S2 tier is production-complete
+   * rather than broadcast-only.
+   */
+  def containsJoinS2(
+      polys: DataFrame, xminName: String, yminName: String,
+      xmaxName: String, ymaxName: String, polyGeomName: String,
+      points: DataFrame, lonName: String, latName: String,
+      level: Int = 6,
+      broadcastPolys: Option[Boolean] = None,
+      salts: Int = 8,
+      knownHotCells: Option[Array[Long]] = None): DataFrame = {
+    val polyCells = polys.withColumn("__pcell", explode(st.s2CoverBBox(
+      col(xminName), col(yminName), col(xmaxName), col(ymaxName), lit(level))))
+    val pointCells = points.withColumn("__qcell",
+      st.s2Encode(col(lonName), col(latName), lit(level)))
+    val doBroadcast = broadcastPolys.getOrElse {
+      val conf = polys.sparkSession.sessionState.conf
+      val bytes = polys.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes < BigInt(conf.defaultSizeInBytes))
+        bytes * 64 <= BigInt(256L * 1024 * 1024)
+      else polys.limit((BroadcastCoverRows / 64 + 1).toInt).count() <= BroadcastCoverRows / 64
+    }
+    coverJoin(polyCells, pointCells,
+      pmod(hash(col(lonName), col(latName)), lit(salts)),
+      df => st.contains(df(polyGeomName), st.point(df(lonName), df(latName))),
+      doBroadcast, salts, knownHotCells)
   }
 
   /** Probe-side cell histogram → cells whose estimated row count exceeds

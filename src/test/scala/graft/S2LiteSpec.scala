@@ -105,6 +105,27 @@ class S2LiteSpec extends SparkSpec {
     assert(math.abs(latC) > 89.0)
   }
 
+  test("containsJoinS2: broadcast and salted paths match the Z2 join exactly") {
+    import graft.pages.WebPages
+    val regions = WebPages.regions(spark, sfDir)
+      .select("region_id", "xmin", "ymin", "xmax", "ymax", "region_geom")
+    val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("region_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = pairs(graft.ops.SpatialJoin.containsJoin(
+      regions.select("region_id", "region_geom"), "region_geom",
+      WebPages.pages(spark, sfDir).select("doc_id", "geom"), "geom"))
+    val bcast = pairs(graft.ops.SpatialJoin.containsJoinS2(
+      regions, "xmin", "ymin", "xmax", "ymax", "region_geom",
+      pts, "lon", "lat", broadcastPolys = Some(true)))
+    val salted = pairs(graft.ops.SpatialJoin.containsJoinS2(
+      regions, "xmin", "ymin", "xmax", "ymax", "region_geom",
+      pts, "lon", "lat", broadcastPolys = Some(false), salts = 4))
+    assert(bcast === expect)
+    assert(salted === expect)
+    assert(expect.nonEmpty)
+  }
+
   test("SQL surface: s2_encode / s2_parent / s2_neighbors / s2_cover_bbox") {
     val row = spark.sql(
       """SELECT s2_encode(10.5D, 45.5D, 8) AS c,
