@@ -127,7 +127,7 @@ object Scaling {
     lines ++= "all 32 threads share one memory bus; separate executors add memory\n"
     lines ++= "bandwidth with cores. Efficiency here is a conservative lower bound.\n"
     lines ++= "\nSkew handling is measured separately in `BENCH/SKEW.md`\n"
-    lines ++= "(tools/SkewBench.scala: hot-cell salting 1.71x over no-mitigation on\n"
+    lines ++= "(tools/SkewBench.scala: hot-cell salting 1.75x over no-mitigation on\n"
     lines ++= "the same skewed workload where AQE skew-split alone gives 1.02x).\n"
 
     Files.createDirectories(Paths.get("BENCH"))
