@@ -227,6 +227,13 @@ object SparkEntry {
       Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         "embedding", "vec_id", annQueryVec, 10, bits = 8, nprobe = 4)
     }),
+    "q_geohash" -> ((s, dir) => {
+      // base-32 geohash string parity (the reference's key format) —
+      // DuckDB reproduces the 30-bit lon-first interleave + alphabet map
+      pages(s, dir)
+        .select(col("doc_id"), st.geohashEncode(col("lon"), col("lat"), lit(6)).as("gh"))
+        .orderBy("doc_id")
+    }),
     "q_cell_cover" -> ((s, dir) => {
       pages(s, dir)
         .select(col("doc_id"), explode(st.cellCover(col("geom"), lit(8))).as("cell"))
@@ -504,6 +511,21 @@ object SparkEntry {
          |  UNION
          |  SELECT b.dst, reach.r FROM reach JOIN bi b ON b.src = reach.id)
          |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_geohash" -> {
+      val chars = (0 until 6).map(k =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> ${25 - 5 * k}) & 31) AS INT) + 1, 1)")
+        .mkString(" || ")
+      s"""WITH $CTE_PAGES,
+         |xy AS (SELECT doc_id,
+         |  LEAST(32767, GREATEST(0, CAST(FLOOR((lon + 180e0) / 360e0 * 32768) AS BIGINT))) AS x,
+         |  LEAST(32767, GREATEST(0, CAST(FLOOR((lat + 90e0) / 180e0 * 32768) AS BIGINT))) AS y FROM pages),
+         |s1 AS (SELECT doc_id, (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y FROM xy),
+         |s2 AS (SELECT doc_id, (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y FROM s1),
+         |s3 AS (SELECT doc_id, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
+         |s4 AS (SELECT doc_id, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3),
+         |z AS (SELECT doc_id, (x << 1) | y AS z FROM s4)
+         |SELECT doc_id, $chars AS gh FROM z ORDER BY doc_id""".stripMargin
+    },
     "q_cell_cover" ->
       s"""WITH $CTE_PAGES,
          |xy AS (SELECT doc_id,
