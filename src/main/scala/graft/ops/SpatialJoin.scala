@@ -143,14 +143,26 @@ object SpatialJoin {
       polys: DataFrame, xminName: String, yminName: String,
       xmaxName: String, ymaxName: String, polyGeomName: String,
       points: DataFrame, lonName: String, latName: String,
-      level: Int = 6,
+      level: Int = -1,
       broadcastPolys: Option[Boolean] = None,
       salts: Int = 8,
       knownHotCells: Option[Array[Long]] = None): DataFrame = {
+    // level < 0 → derive from the WIDEST polygon (one tiny agg): the
+    // sampled cover is per-row CPU, so a fixed fine level would turn a
+    // world-sized box into a per-row bomb; the budget caps it the same way
+    // xzIntersectsJoin's plan-time degrade does
+    val lvl = if (level >= 0) level else {
+      val env = polys.agg(
+        max(col(xmaxName) - col(xminName)).as("w"),
+        max(col(ymaxName) - col(yminName)).as("h")).head()
+      if (env.isNullAt(0) || env.isNullAt(1)) 6
+      else graft.index.S2Lite.chooseLevel(0, 0, env.getDouble(0), env.getDouble(1),
+        budget = 512, levels = Array(2, 3, 4, 5, 6, 7, 8))
+    }
     val polyCells = polys.withColumn("__pcell", explode(st.s2CoverBBox(
-      col(xminName), col(yminName), col(xmaxName), col(ymaxName), lit(level))))
+      col(xminName), col(yminName), col(xmaxName), col(ymaxName), lit(lvl))))
     val pointCells = points.withColumn("__qcell",
-      st.s2Encode(col(lonName), col(latName), lit(level)))
+      st.s2Encode(col(lonName), col(latName), lit(lvl)))
     val doBroadcast = broadcastPolys.getOrElse {
       val conf = polys.sparkSession.sessionState.conf
       val bytes = polys.queryExecution.optimizedPlan.stats.sizeInBytes
