@@ -37,8 +37,14 @@ object AudioRT {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val f = in.getFormat
+        // only linear PCM: mu-law/a-law AU files also report 8-bit sample
+        // size but need companding tables — decode them as null, not noise
+        val enc = f.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) return null
         val bytesPerSample = f.getSampleSizeInBits / 8
         if (bytesPerSample < 1 || bytesPerSample > 2) return null
+        if (bytesPerSample == 2 && !signed) return null // 16-bit unsigned: not PCM we handle
         val data = in.readAllBytes()
         val frameSize = f.getFrameSize
         val n = data.length / frameSize
@@ -49,7 +55,11 @@ object AudioRT {
         while (i < n) {
           val off = i * frameSize // first channel only
           val sample =
-            if (bytesPerSample == 1) (data(off) & 0xff) - 128.0
+            // 8-bit WAV is unsigned; 8-bit AU/AIFF is SIGNED — honor the
+            // format's encoding instead of assuming one convention
+            if (bytesPerSample == 1) {
+              if (signed) data(off).toDouble else (data(off) & 0xff) - 128.0
+            }
             else {
               val lo = data(off) & 0xff
               val hi = data(off + 1)

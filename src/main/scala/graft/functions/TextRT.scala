@@ -222,16 +222,23 @@ object TextRT {
     case _ => Double.NaN
   }
 
-  /** Decimal degrees → DMS string (reference DMS.toString format:
-    * "d:mm:ss.ssH"). `isLat` selects N/S vs E/W. */
+  /** Decimal degrees → DMS string ("dd:mm:ss.ssH" — reference DMS.toString
+    * shape, with two fixes so the output always round-trips through
+    * [[dmsToDeg]]: degrees are zero-padded to the regex's 2-digit minimum,
+    * and seconds that round-format to 60.00 carry into minutes/degrees).
+    * `isLat` selects N/S vs E/W. */
   def degToDms(deg: Double, isLat: Boolean): String = {
     val hemi = if (isLat) { if (deg >= 0) 'N' else 'S' } else { if (deg >= 0) 'E' else 'W' }
     val a = math.abs(deg)
-    val d = a.toInt
-    val mFull = (a - d) * 60.0
-    val m = mFull.toInt
-    val s = (mFull - m) * 60.0
-    f"$d%d:$m%02d:$s%05.2f$hemi%s"
+    // fixed-point at 2-decimal seconds, then carry — avoids "59.995 → 60.00"
+    var centiSec = math.round(a * 3600.0 * 100.0)
+    var d = centiSec / (3600L * 100)
+    centiSec -= d * 3600L * 100
+    var m = centiSec / (60L * 100)
+    centiSec -= m * 60L * 100
+    if (centiSec >= 60L * 100) { centiSec -= 60L * 100; m += 1 } // defensive
+    if (m >= 60) { m -= 60; d += 1 }
+    f"$d%02d:$m%02d:${centiSec / 100.0}%05.2f$hemi%s"
   }
 
   /** BPE-ish token count: words + digit runs + punctuation marks. */

@@ -203,8 +203,12 @@ object S2Lite {
     var continueLat = true
     while (continueLat) {
       if (lat >= latHi) { lat = latHi; continueLat = false }
-      // shrink lon steps by the parallel's cos so the sample density holds
-      val lonStep = step * math.max(0.05, math.cos(math.toRadians(math.min(89.0, math.abs(lat)))))
+      // WIDEN lon steps by 1/cos(lat): cells are metrically uniform (cube
+      // face), so near the poles a cell spans MORE lon degrees and a
+      // metric-constant sample step needs FEWER lon samples per row —
+      // shrinking here would make high-latitude boxes a per-row CPU bomb
+      // without adding completeness
+      val lonStep = step / math.max(0.05, math.cos(math.toRadians(math.min(89.0, math.abs(lat)))))
       var lon = lonMin
       var continueLon = true
       while (continueLon) {

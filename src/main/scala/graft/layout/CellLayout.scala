@@ -223,17 +223,30 @@ object CellLayout {
    * source for [[graft.ops.SpatialJoin.polygonsWithPoints]]'s
    * `knownHotCells`: no sampling job, the skew statistics were paid for
    * once at write time (the cost-model role of the reference's cardinality
-   * metadata, QueryStrategyDecider.scala:31-110). Returned ids are the
-   * coarse BucketRes cells; pass `res` to re-express them at the join's
-   * ladder levels (each hot bucket contributes its ancestor at `res` when
-   * res is coarser, or itself otherwise — ancestors of hot cells are hot).
+   * metadata, QueryStrategyDecider.scala:31-110).
+   *
+   * Hot ids are emitted at EVERY requested ladder level: ancestors of a
+   * hot bucket are hot by containment; for levels FINER than BucketRes all
+   * descendants are emitted conservatively (a cold child of a hot bucket
+   * gets salted needlessly — benign, a few extra build-side replicas —
+   * while missing a hot child would leave the skew unsplit), capped at 3
+   * levels below BucketRes (64 children/bucket) so the broadcast hot list
+   * stays small. Levels beyond the cap are omitted — the join's sampling
+   * fallback covers them.
    */
   def hotCellsFromManifest(outDir: String, minRows: Long,
                            levels: Array[Int] = graft.ops.SpatialJoin.DefaultLevels): Array[Long] = {
-    val hot = readManifest(outDir).values.filter(_.rows > minRows).map(_.bucket).toArray
-    levels.filter(_ <= BucketRes)
-      .flatMap(r => hot.map(b => graft.index.Z2.parent(b, r)))
-      .distinct
+    val hot = readManifest(outDir).values.filter(_.rows > minRows).map(_.bucket).toSeq
+    levels.toSeq.flatMap {
+      case r if r <= BucketRes => hot.map(b => graft.index.Z2.parent(b, r))
+      case r if r <= BucketRes + 3 =>
+        hot.flatMap { b =>
+          val shift = 2 * (r - BucketRes)
+          val base = graft.index.Z2.zOf(b) << shift
+          (0L until (1L << shift)).map(q => graft.index.Z2.pack(base | q, r))
+        }
+      case _ => Seq.empty[Long]
+    }.distinct.toArray
   }
 
   /** Count estimate from the manifest — no scan (reference A6: record-table

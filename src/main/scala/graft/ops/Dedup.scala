@@ -53,6 +53,9 @@ object Dedup {
     // both self-join sides — without it the MinHash signatures (the
     // expensive per-document work) would be recomputed three times. The
     // cached rows are 16 bytes/band, orders of magnitude below the text.
+    // Lifecycle: entries live until unpersist/clearCache (Spark spills this
+    // level under pressure); callers invoking dedup in a LOOP should
+    // spark.catalog.clearCache() between iterations.
     val sig = df.select(col(idName).as("id"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
       .filter(element_at(col("__sig"), 1) =!= lit(Long.MaxValue))

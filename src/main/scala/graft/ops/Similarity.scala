@@ -62,17 +62,21 @@ object Similarity {
    * bucket join degenerates toward all-pairs).
    */
   def nearDupPairs(df: DataFrame, vecName: String, idName: String,
-                   threshold: Double, bits: Int = 16, nprobe: Int = 3,
-                   dim: Int = -1): DataFrame = {
+                   threshold: Double, bits: Int = 16, nprobe: Int = 3): DataFrame = {
     // bucket join carries ids only (8B), vectors re-joined for the refine
     // (same shuffle-the-key-not-the-payload shape as Dedup.minhashPairs)
     val a = df.select(col(idName).as("id_a"),
         explode(vx.lshProbes(col(vecName), lit(bits), lit(nprobe))).as("__key"))
     val b = df.select(col(idName).as("id_b"),
         vx.lshKey(col(vecName), lit(bits)).as("__key"))
+    // canonicalize AFTER the join: the probe→base hit can arrive in either
+    // orientation (X's probes hitting Y's bucket or vice versa) and the two
+    // orientations are NOT symmetric — filtering on id_a < id_b before
+    // canonicalizing would drop pairs found only in the higher-id direction
     val candidates = a.join(b, Seq("__key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair can collide in several probes
     val vecs = df.select(col(idName).as("__vid"), col(vecName).as("__vec"))
     candidates

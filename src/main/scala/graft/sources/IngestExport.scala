@@ -48,9 +48,14 @@ object IngestExport {
         new GenericDatumReader[GenericRecord]())
 
     def nonNullBranch(s: Schema): Schema =
-      if (s.getType == Schema.Type.UNION)
-        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s.getTypes.get(0))
-      else s
+      if (s.getType == Schema.Type.UNION) {
+        val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        // a union of MULTIPLE non-null branches has no single Spark type:
+        // land it as a string (the documented fallback) rather than
+        // guessing the first branch and class-cast-crashing at runtime
+        if (branches.size == 1) branches.head
+        else Schema.create(Schema.Type.STRING)
+      } else s
 
     def sparkType(s: Schema): DataType = nonNullBranch(s).getType match {
       case Schema.Type.STRING => StringType
@@ -102,11 +107,16 @@ object IngestExport {
     * type (Point, LineString, Polygon, Multi variants, collections) via
     * st_asgeojson. The id is emitted as a JSON string (RFC 7946 allows
     * string or number ids). */
-  def toGeoJson(df: DataFrame, geomCol: String, idCol: String): DataFrame =
+  def toGeoJson(df: DataFrame, geomCol: String, idCol: String): DataFrame = {
+    // JSON-escape the id (backslash first, then quote) — string ids are
+    // arbitrary user data
+    val idEsc = regexp_replace(regexp_replace(col(idCol).cast("string"),
+      lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\""))
     df.select(concat(
-      lit("{\"type\":\"Feature\",\"id\":\""), col(idCol).cast("string"),
+      lit("{\"type\":\"Feature\",\"id\":\""), idEsc,
       lit("\",\"geometry\":"), st.asGeoJson(col(geomCol)),
       lit("}")).as("feature"))
+  }
 
   /**
    * Lon/lat domain contract enforcement (the data contract the optimizer's

@@ -100,7 +100,11 @@ class CellLayoutSpec extends SparkSpec {
     CellLayout.write(keyedPages, out, sfDir)
     val hot = CellLayout.hotCellsFromManifest(out, minRows = 0)
     assert(hot.nonEmpty)
-    hot.foreach(c => assert(graft.index.Z2.resOf(c) <= CellLayout.BucketRes))
+    // ancestors at coarse ladder levels + bounded children expansion below
+    // BucketRes (finer levels fall back to sampling)
+    hot.foreach(c => assert(graft.index.Z2.resOf(c) <= CellLayout.BucketRes + 3))
+    assert(hot.exists(c => graft.index.Z2.resOf(c) < CellLayout.BucketRes))
+    assert(hot.exists(c => graft.index.Z2.resOf(c) > CellLayout.BucketRes))
     val regions = WebPages.regions(spark, sfDir).select("region_id", "region_geom")
     val pts = WebPages.pages(spark, sfDir).select("doc_id", "geom")
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -104,9 +104,22 @@ class IngestExportSpec extends SparkSpec {
     assert(math.abs(rows.getDouble(0) - expected) < 1e-12)
     assert(rows.isNullAt(1))
     assert(rows.getString(2).endsWith("N") && rows.getString(2).startsWith("38:"))
-    // round-trip
-    val rt = TextRT.dmsToDeg(TextRT.degToDms(expected, isLat = true))
-    assert(math.abs(rt - expected) < 1e-4) // 2-decimal seconds precision
+    // round-trip, including the edges that used to break it: single-digit
+    // degrees (regex needs 2), seconds that round-format to 60.00
+    for (v <- Seq(expected, 8.5, 0.9999986, 0.0, 59.9999999, 179.9999999 - 180.0)) {
+      val rt = TextRT.dmsToDeg(TextRT.degToDms(v, isLat = v.abs <= 90))
+      assert(!rt.isNaN, s"$v -> ${TextRT.degToDms(v, v.abs <= 90)} unparseable")
+      assert(math.abs(rt - v) < 1e-4, s"$v") // 2-decimal seconds precision
+    }
+  }
+
+  test("geojson id escaping: quotes and backslashes stay valid JSON") {
+    val df = Seq(("a\"b\\c", "POINT (1 2)")).toDF("id", "wkt")
+    val json = IngestExport.toGeoJson(
+      IngestExport.withWktGeometry(df, "wkt"), "geom", "id").head().getString(0)
+    val parsed = Seq(json).toDF("j")
+      .select(get_json_object(col("j"), "$.id")).head().getString(0)
+    assert(parsed === "a\"b\\c", json)
   }
 
   test("lon/lat domain enforcement: reject drops, clamp folds into range") {

@@ -108,7 +108,7 @@ class SpatioTemporalSpec extends SparkSpec {
       while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val got = Similarity.nearDupPairs(df, "embedding", "vec_id", 0.5, bits = 2, dim = 64)
+    val got = Similarity.nearDupPairs(df, "embedding", "vec_id", 0.5, bits = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val lookup = all.toMap
     got.foreach { case (a, b, c) =>
