@@ -60,7 +60,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     // st_dwithin METERS form (the GeoMesa SparkSQL signature predicate):
     // conservative per-row degree radius from the center's latitude —
     // the same Geodesy.metersToDegrees formula as an expression tree
-    // (optimizer stage gets no type coercion, hence the explicit doubles)
+    // (optimizer stage gets no type coercion, hence the explicit doubles).
+    // SOUNDNESS: st_dwithin's own semantics are "planar distance <
+    // metersToDegrees(r, a.lat) degrees" (GeomRT.dwithinMeters — the
+    // reference's DWithin rewrite, FilterHelper.scala:111-123), and a
+    // planar deg-ball is strictly inside the ±deg box, so the box never
+    // under-covers THIS predicate. (It would under-cover a true
+    // great-circle ball at high latitude — but that is not the predicate.)
     case StDWithin(StPoint(ax, ay), StPoint(bx, by), r)
         if r.foldable && r.dataType == org.apache.spark.sql.types.DoubleType =>
       val deg = metersToDegExpr(r, ay)
