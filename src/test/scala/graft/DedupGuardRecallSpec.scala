@@ -81,6 +81,31 @@ class DedupGuardRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${got.size}/${truePairs.size})")
   }
 
+  test("multiprobe candidate generation is direction-symmetric (regression)") {
+    import graft.functions.VecRT
+    val bits = 10; val nprobe = 3
+    // hunt the planted pairs for one whose bucket keys differ such that
+    // ONLY the higher-id vector's probe set reaches the lower-id bucket —
+    // the direction the pre-fix id_a<id_b filter silently dropped
+    val probeCache = (0L until 300L).map { id =>
+      id -> (VecRT.lshKey(corpus(id), bits), VecRT.lshProbes(corpus(id), bits, nprobe).toSet)
+    }.toMap
+    val asym = (for {
+      a <- (0L until 300L).iterator; b <- (a + 1) until 300L
+      (ka, pa) = probeCache(a); (kb, pb) = probeCache(b)
+      if ka != kb && !pa.contains(kb) && pb.contains(ka)
+    } yield (a, b, corpus(a), corpus(b))).buffered.headOption
+    assume(asym.nonEmpty, "fixture produced no asymmetric-probe pair at these params")
+    val (ia, ib, va, vb) = asym.get
+    val thr = cos(va, vb) - 0.01
+    val twoRows = Seq((ia, va), (ib, vb)).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(twoRows, "embedding", "vec_id", thr,
+        bits = bits, nprobe = nprobe)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((math.min(ia, ib), math.max(ia, ib))),
+      s"pair ($ia,$ib) reachable only via the higher-id probes must survive")
+  }
+
   test("annTopK multiprobe recall@10 >= 0.8 vs brute force") {
     val q = corpus(7L) // has planted near-dups: ids 1007, 1257 perturb base 7
     val brute = corpus.toSeq.map { case (id, v) => (id, cos(v, q)) }
