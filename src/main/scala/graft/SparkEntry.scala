@@ -223,9 +223,13 @@ object SparkEntry {
     }),
     "q_ann_lsh" -> ((s, dir) => {
       // bits sized so 2^bits ~ corpus/8 buckets at this sf; multiprobe keeps
-      // recall when the base bucket is sparse
+      // recall when the base bucket is sparse. id-only projection (float
+      // cosine stays engine-side); the oracle mirrors the FULL bucket
+      // pipeline — plane signs as literals, probe keys precomputed — so the
+      // output is exact-match gated, not rows-only
       Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         "embedding", "vec_id", annQueryVec, 10, bits = 8, nprobe = 4)
+        .select("vec_id")
     }),
     "q_geohash" -> ((s, dir) => {
       // base-32 geohash string parity (the reference's key format) —
@@ -329,10 +333,65 @@ object SparkEntry {
       Dedup.clusters(edges, "id_a", "id_b").orderBy("id")
     }),
     "q_ann_ivf" -> ((s, dir) => {
-      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
-        "embedding", "vec_id", annQueryVec, 10)
+      // IVF output is defined by the trained coarse quantizer (k-means state
+      // has no SQL analog), so the gate is a rank-containment bound: all 10
+      // returned ids must sit inside the exact brute-force top-30 — the
+      // oracle's constant row encodes that claim, and the brute ranking
+      // itself is driver-graded by q_ann_cosine's exact-mirror oracle
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = Similarity.ivfTopK(df, "embedding", "vec_id", annQueryVec, 10)
+        .select("vec_id")
+      val margin = Similarity.bruteTopK(df, "embedding", "vec_id", annQueryVec, AnnMargin)
+        .select(col("vec_id").as("__bv"))
+      ivf.join(margin, col("vec_id") === col("__bv"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(when(col("__bv").isNull, 1L).otherwise(0L)).as("n_outside_margin"))
+    }),
+    // ---- physical layout + ingest tier (reference S1/S5/S6 end-to-end:
+    //      the AccumuloDataStoreTest write→query→assert spine) ----
+    "q_layout_scan" -> ((s, dir) => {
+      // CellLayout checkpointed write (waves + manifest) → read with coarse
+      // bucket pruning + fine cell ranges → exact refine; the oracle is the
+      // plain bbox filter, so a green row proves the write/prune/read path
+      // returns exactly the base-table answer (no loss, no duplicates)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_layout_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      rmrf(new java.io.File(out))
+      val keyed = graft.layout.CellLayout.withCellKeys(
+        pages(s, dir).select("doc_id", "lon", "lat"),
+        col("lon"), col("lat"), col("doc_id"))
+      graft.layout.CellLayout.write(keyed, out, s"$dir/documents.parquet")
+      graft.layout.CellLayout.read(s, out, queryBox = Some((-80.0, 35.0, -70.0, 45.0)))
+        .filter(col("lon") > -80.0 && col("lon") < -70.0 &&
+          col("lat") > 35.0 && col("lat") < 45.0)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // delimited export → re-ingest (schema + geometry derivation) → agg;
+      // Java shortest-repr double round-trips exactly through CSV, so the
+      // box filter over re-parsed coordinates matches the parquet oracle
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_csv_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      pages(s, dir).select("doc_id", "lang", "lon", "lat")
+        .write.option("header", "true").mode("overwrite").csv(out)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("lon", DoubleType),
+        StructField("lat", DoubleType)))
+      graft.sources.IngestExport.csv(s, out, schema, "lon", "lat")
+        .filter(st.contains(st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0)), col("geom")))
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")
     })
   )
+
+  /** Brute-force rank margin for the ANN containment gates. */
+  val AnnMargin = 30
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(): Unit
+  }
 
   /** Deterministic 64-dim query vector for the ANN queries. */
   val annQueryVec: Array[Float] = Array.tabulate(64)(i => ((i * 37 % 19) - 9) / 10.0f)
@@ -602,6 +661,56 @@ object SparkEntry {
         |  list_sum(list_transform(range(0, 64), i -> CAST(CAST(embedding[i + 1] * qv[i + 1] AS FLOAT) AS DOUBLE))) /
         |  sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS s
         |  FROM embeddings, q)
-        |SELECT vec_id FROM d ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin
+        |SELECT vec_id FROM d ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_dedup_simhash" ->
+      // GROUND-TRUTH oracle (same shape as q_dedup_minhash): DuckDB
+      // recomputes every document's 64-bit SimHash from scratch — FNV-1a +
+      // splitmix64 in explicit mod-2^64 HUGEINT arithmetic (OracleMirror) —
+      // and counts the exact all-pairs hamming<=3 total; matching it proves
+      // the pigeonhole block-bucketing reaches 100% recall on this corpus
+      s"""WITH ${OracleMirror.simhashCtes}
+         |SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE a.s <> 0 AND b.s <> 0 AND bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    "q_fingerprints" ->
+      // full per-document value parity for BOTH custom rolling hashes
+      s"""WITH ${OracleMirror.simhashCtes},
+         |${OracleMirror.fingerprintCtes(16)}
+         |SELECT d.doc_id, COALESCE(fp.fp, 0) AS fp,
+         |  COALESCE(${OracleMirror.toSigned("sig.s")}, 0) AS simhash
+         |FROM documents d
+         |LEFT JOIN fp ON d.doc_id = fp.doc_id
+         |LEFT JOIN sig ON d.doc_id = sig.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_ann_lsh" -> {
+      // exact-mirror oracle: the multiprobe key set is computed here by the
+      // SAME driver-side kernel the engine uses (VecRT.lshProbes) and the
+      // per-row bucket key is re-derived in SQL from the ±1 plane literals;
+      // cosine re-rank reuses q_ann_cosine's exact CTE
+      val probes = graft.functions.VecRT.lshProbes(annQueryVec, 8, 4).mkString(", ")
+      s"""WITH q AS (SELECT list_transform(range(0, 64), i -> CAST((((i * 37) % 19) - 9) / 1e1 AS FLOAT)) AS qv),
+         |keyed AS (SELECT vec_id, embedding, ${OracleMirror.lshKeySql(8, 64)} AS key FROM embeddings),
+         |d AS (SELECT vec_id,
+         |  list_sum(list_transform(range(0, 64), i -> CAST(CAST(embedding[i + 1] * qv[i + 1] AS FLOAT) AS DOUBLE))) /
+         |  sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS s
+         |  FROM keyed, q WHERE key IN ($probes))
+         |SELECT vec_id FROM d ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    "q_ann_ivf" ->
+      // containment gate: the engine-side query counts its IVF results and
+      // how many fall OUTSIDE its own brute top-AnnMargin (brute ranking is
+      // separately exact-gated by q_ann_cosine); this constant row is the
+      // oracle-recorded claim those counts must hit
+      s"SELECT CAST(10 AS BIGINT) AS n_results, CAST(0 AS BIGINT) AS n_outside_margin",
+    "q_layout_scan" ->
+      s"""WITH $CTE_PAGES
+         |SELECT doc_id FROM pages
+         |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0
+         |ORDER BY doc_id""".stripMargin,
+    "q_csv_roundtrip" ->
+      s"""WITH $CTE_PAGES
+         |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM pages
+         |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

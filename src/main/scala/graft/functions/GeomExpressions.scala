@@ -266,6 +266,19 @@ case class StAsGeoJson(child: Expression) extends UnaryExpression with Serializa
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_asgml(geom) → GML 2 geometry fragment for ANY geometry type
+  * (reference GmlExport, FeatureExporter.scala:60-72). */
+case class StAsGml(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(GeomRT.gmlGeometry(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${RT.C}.gmlGeometry($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StGeometryType(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -463,6 +476,42 @@ case class S2CoverBBox(children: Seq[Expression]) extends Expression with Serial
           ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
             graft.index.S2Lite.coverBBox(${evs(0).value}, ${evs(1).value},
               ${evs(2).value}, ${evs(3).value}, ${evs(4).value}));
+        }""")
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+/** s2_cover_budget(xmin, ymin, xmax, ymax, budget, levels) → array<long>:
+  * PER-ROW adaptive cover — each box picks the finest ladder level whose
+  * estimated cover fits the budget (the S2 analog of CellCoverBudget; one
+  * outlier world-sized box no longer degrades every row's resolution). */
+case class S2CoverBudget(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.size == 6, "s2_cover_budget(xmin, ymin, xmax, ymax, budget, levels)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else new GenericArrayData(graft.index.S2Lite.coverBBoxBudget(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Int],
+      vs(5).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.index.S2Lite.coverBBoxBudget(${evs(0).value}, ${evs(1).value},
+              ${evs(2).value}, ${evs(3).value}, ${evs(4).value}, ${evs(5).value}.toIntArray()));
         }""")
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)

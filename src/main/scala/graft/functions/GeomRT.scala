@@ -304,6 +304,53 @@ object GeomRT {
     }
   }
 
+  /** GML 2 (WFS 1.0) geometry fragment for any WKB geometry — the
+    * reference's GmlExport surface (geomesa-tools/.../FeatureExporter.scala:
+    * 60-72 delegates to the GeoTools GML2 encoder; this renders the same
+    * element structure directly). Coordinates are `x,y` tuples separated
+    * by spaces, per the GML 2.1.2 coordinates encoding. */
+  def gmlGeometry(b: Array[Byte]): String = gml(GeomCodec.fromWkb(b))
+
+  private def gml(g: Geometry): String = {
+    def num(d: Double): String =
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    def coord(c: org.locationtech.jts.geom.Coordinate) = s"${num(c.x)},${num(c.y)}"
+    def coords(cs: Array[org.locationtech.jts.geom.Coordinate]) =
+      cs.map(coord).mkString(" ")
+    def point(c: org.locationtech.jts.geom.Coordinate) =
+      s"<gml:Point><gml:coordinates>${coord(c)}</gml:coordinates></gml:Point>"
+    def lineString(cs: Array[org.locationtech.jts.geom.Coordinate]) =
+      s"<gml:LineString><gml:coordinates>${coords(cs)}</gml:coordinates></gml:LineString>"
+    def polygon(p: org.locationtech.jts.geom.Polygon) = {
+      val outer = "<gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>" +
+        coords(p.getExteriorRing.getCoordinates) +
+        "</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>"
+      val inner = (0 until p.getNumInteriorRing).map { i =>
+        "<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>" +
+          coords(p.getInteriorRingN(i).getCoordinates) +
+          "</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>"
+      }.mkString
+      s"<gml:Polygon>$outer$inner</gml:Polygon>"
+    }
+    def multi(tag: String, memberTag: String, parts: Seq[String]) =
+      s"<gml:$tag>" + parts.map(p => s"<gml:$memberTag>$p</gml:$memberTag>").mkString +
+        s"</gml:$tag>"
+    g.getGeometryType match {
+      case "Point" => point(g.getCoordinate)
+      case "LineString" | "LinearRing" => lineString(g.getCoordinates)
+      case "Polygon" => polygon(g.asInstanceOf[org.locationtech.jts.geom.Polygon])
+      case "MultiPoint" => multi("MultiPoint", "pointMember",
+        g.getCoordinates.toSeq.map(point))
+      case "MultiLineString" => multi("MultiLineString", "lineStringMember",
+        (0 until g.getNumGeometries).map(i => lineString(g.getGeometryN(i).getCoordinates)))
+      case "MultiPolygon" => multi("MultiPolygon", "polygonMember",
+        (0 until g.getNumGeometries).map(i =>
+          polygon(g.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon])))
+      case _ => multi("MultiGeometry", "geometryMember",
+        (0 until g.getNumGeometries).map(i => gml(g.getGeometryN(i))))
+    }
+  }
+
   /** WKB box of a base-32 geohash cell. */
   def geohashBoxWkb(hash: String): Array[Byte] = {
     val (x0, y0, x1, y1) = graft.index.GeoHashStr.decodeBounds(hash)

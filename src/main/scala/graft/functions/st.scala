@@ -17,6 +17,7 @@ object st {
   def geomFromWKT(wkt: Column): Column = col(StGeomFromWKT(ex(wkt)))
   def asText(g: Column): Column = col(StAsText(ex(g)))
   def asGeoJson(g: Column): Column = col(StAsGeoJson(ex(g)))
+  def asGml(g: Column): Column = col(StAsGml(ex(g)))
   def point(lon: Column, lat: Column): Column = col(StPoint(ex(lon), ex(lat)))
   def makeBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StMakeBox(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
@@ -74,6 +75,9 @@ object st {
   def s2Neighbors(cell: Column): Column = col(S2Neighbors(ex(cell)))
   def s2CoverBBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column, level: Column): Column =
     col(S2CoverBBox(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax), ex(level))))
+  def s2CoverBudget(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                    budget: Column, levels: Column): Column =
+    col(S2CoverBudget(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax), ex(budget), ex(levels))))
   def geohashEncode(lon: Column, lat: Column, chars: Column): Column =
     col(GeohashEncode(ex(lon), ex(lat), ex(chars)))
   def geohashBox(h: Column): Column = col(GeohashBox(ex(h)))
@@ -92,6 +96,7 @@ object st {
     f1("st_geomfromtext", StGeomFromWKT)
     f1("st_astext", StAsText)
     f1("st_asgeojson", StAsGeoJson)
+    f1("st_asgml", StAsGml)
     f2("st_point", StPoint)
     reg.createOrReplaceTempFunction("st_makebox", es => StMakeBox(es), "built-in")
     f2("st_contains", StContains)
@@ -138,6 +143,7 @@ object st {
     f2("s2_parent", S2Parent)
     f1("s2_neighbors", S2Neighbors)
     reg.createOrReplaceTempFunction("s2_cover_bbox", es => S2CoverBBox(es), "built-in")
+    reg.createOrReplaceTempFunction("s2_cover_budget", es => S2CoverBudget(es), "built-in")
     f3("geohash_encode", GeohashEncode)
     f1("geohash_box", GeohashBox)
   }

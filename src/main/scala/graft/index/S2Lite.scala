@@ -223,6 +223,16 @@ object S2Lite {
     out.toArray
   }
 
+  /** Per-box adaptive cover: the finest ladder level whose estimated cover
+    * fits `budget`, then [[coverBBox]] at that level. Each box gets its OWN
+    * resolution — one world-sized polygon in the input no longer coarsens
+    * every other row's cover (the r2 global-widest-polygon degrade). */
+  def coverBBoxBudget(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+                      budget: Int, levels: Array[Int]): Array[Long] = {
+    val l = chooseLevel(lonMin, latMin, lonMax, latMax, budget, levels)
+    coverBBox(lonMin, latMin, lonMax, latMax, l)
+  }
+
   /** Cover size guard: the finest level from `levels` whose cover stays
     * under `budget` (probe on the seed grid count, cheap upper bound). */
   def chooseLevel(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,

@@ -139,4 +139,30 @@ object Z2 {
     while (i > 0 && coverSize(lonMin, latMin, lonMax, latMax, levels(i)) > budget) i -= 1
     levels(i)
   }
+
+  /**
+   * Sorted, merged [lo, hi] ranges of PACKED cell ids at `fineRes` covering
+   * the bbox: the cover is enumerated at the coarser `coverRes`, each cover
+   * cell expands to the contiguous fine-key interval of its descendants
+   * (parents are bit prefixes, so a cover cell's subtree is one contiguous
+   * z-range), and z-adjacent cover cells merge into one range. This is the
+   * reference's range planning over SORTED keys
+   * (geomesa-core/.../index/STIdxStrategy.scala:219-257 plans key ranges,
+   * not just tablet pruning) — the ranges become `cell BETWEEN` conjuncts
+   * that parquet row-group min/max stats prune inside hot buckets.
+   */
+  def coverRanges(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+                  coverRes: Int, fineRes: Int): Array[(Long, Long)] = {
+    require(fineRes >= coverRes, s"fineRes $fineRes < coverRes $coverRes")
+    val shift = 2 * (fineRes - coverRes)
+    val zs = coverBBox(lonMin, latMin, lonMax, latMax, coverRes).map(zOf).sorted
+    val merged = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    zs.foreach { z =>
+      if (merged.nonEmpty && merged.last(1) + 1 == z) merged.last(1) = z
+      else merged += Array(z, z)
+    }
+    merged.map { r =>
+      (pack(r(0) << shift, fineRes), pack(((r(1) + 1) << shift) - 1, fineRes))
+    }.toArray
+  }
 }

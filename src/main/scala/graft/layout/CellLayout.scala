@@ -193,7 +193,20 @@ object CellLayout {
         // the predicate stays a PartitionFilter — filtering through a cast
         // can defeat directory pruning
         val cover = graft.index.Z2.coverBBox(x0, y0, x1, y1, BucketRes).map(_.toInt)
-        df.filter(col("bucket").isin(cover: _*))
+        // fine-cell range conjuncts on the SORTED in-file key: the bbox
+        // cover at a finer resolution expands to `cell BETWEEN` ranges that
+        // parquet row-group min/max stats prune INSIDE hot buckets — the
+        // read-side payoff of the write-time sort (reference precedent:
+        // STIdxStrategy plans ranges over sorted keys, not just tablets).
+        // Range count bounded by the cover budget; still a superset of the
+        // box (callers refine exactly, as with bucket pruning).
+        val rangeRes = graft.index.Z2.chooseRes(x0, y0, x1, y1, budget = 64,
+          levels = Array(BucketRes, BucketRes + 2, BucketRes + 4))
+        val ranges = graft.index.Z2.coverRanges(x0, y0, x1, y1, rangeRes, SortRes)
+        val rangeFilter = ranges.map { case (lo, hi) =>
+          col("cell") >= lo && col("cell") <= hi
+        }.reduce(_ || _)
+        df.filter(col("bucket").isin(cover: _*)).filter(rangeFilter)
       case None => df
     }
     pruned.withColumn("bucket", col("bucket").cast("long"))

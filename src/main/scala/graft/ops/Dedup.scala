@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
  * hash group-by; near-dup is shingle→MinHash→LSH-band→bucket-join→exact
  * Jaccard verify — all shuffle-on-key plans that scale horizontally (the
  * candidate join keys are the LSH buckets, never a cross join).
+ *
+ * Both near-dup paths collapse exact-duplicate texts to ONE representative
+ * per group BEFORE candidate generation (grouped by content hash at the
+ * band/block shuffle, so the text column itself never shuffles): a web
+ * corpus's >maxBucket cluster of byte-identical boilerplate pages (404s,
+ * templates) would otherwise oversize EVERY band bucket it touches and be
+ * silently dropped by the cap — exact duplicates are a group-by problem,
+ * not an LSH problem. Verified pairs between representatives are expanded
+ * back to all member pairs (plus the within-group pairs, which are exact
+ * duplicates by construction), so the output is still the full pair set.
  */
 object Dedup {
 
@@ -29,88 +39,110 @@ object Dedup {
    * Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
    * jaccard >= threshold. numHashes=32, 8 bands x 4 rows targets ~0.6+
    * similarity candidates.
+   *
+   * Scale shape: candidate generation shuffles ONLY (band, group-hash, id)
+   * keys — never the text (KBs/row at corpus scale; keys are ~24 bytes).
+   * Guards against degenerate buckets:
+   *  1. docs with fewer than `shingle` tokens have no shingle set, hence no
+   *     meaningful Jaccard — excluded entirely (exact-dedup territory);
+   *  2. exact-duplicate texts occupy ONE slot per band bucket (see object
+   *     doc) — a boilerplate mega-cluster can no longer oversize buckets;
+   *  3. any band bucket still holding more than `maxBucket` DISTINCT texts
+   *     is dropped from candidate generation. The count rides a window
+   *     aggregate over the same hash partitioning the self-join needs, so
+   *     the guard costs no extra job, no persist (the r2 persist both
+   *     leaked cache entries and regressed small-sf latency) — Catalyst
+   *     reuses the exchange for both join sides.
    */
   def minhashPairs(df: DataFrame, textName: String, idName: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4, shingle: Int = 3,
                    threshold: Double = 0.6, maxBucket: Long = 10000L): DataFrame = {
-    // Candidate generation shuffles ONLY (band, id) — never the text. At
-    // corpus scale the text column is KBs/row and would dominate the LSH
-    // band shuffle; ids are 8 bytes. Texts are re-joined just for the
-    // (typically tiny) surviving candidate-pair set.
-    //
-    // Degenerate-bucket guards (a real web corpus is full of empty/near-
-    // empty pages, which would otherwise all share the all-MaxValue
-    // signature and meet in EVERY band — O(n²) candidates):
-    //  1. docs with fewer than `shingle` tokens have no shingle set, hence
-    //     no meaningful Jaccard — they are exact-dedup territory and are
-    //     excluded from banding entirely;
-    //  2. any band bucket larger than `maxBucket` is dropped from candidate
-    //     generation (a count pre-pass; map-side partial agg makes it one
-    //     cheap shuffle of (band, count)). Pairs in such a mega-bucket are
-    //     near-certainly co-bucketed in another, sub-cap band; the cap
-    //     bounds the worst case at maxBucket² per bucket instead of n².
-    // persist the COMPACT (id, band) frame: it feeds the count pre-pass and
-    // both self-join sides — without it the MinHash signatures (the
-    // expensive per-document work) would be recomputed three times. The
-    // cached rows are 16 bytes/band, orders of magnitude below the text.
-    // Lifecycle: entries live until unpersist/clearCache (Spark spills this
-    // level under pressure); callers invoking dedup in a LOOP should
-    // spark.catalog.clearCache() between iterations.
-    val sig = df.select(col(idName).as("id"),
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(textName).cast("binary"))
+    val members = df.select(col(idName).as("id"), h.as("__h"))
+    val sig = df.select(col(idName).as("id"), h.as("__h"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
       .filter(element_at(col("__sig"), 1) =!= lit(Long.MaxValue))
-      .select(col("id"), explode(tx.lshBands(col("__sig"), lit(rowsPerBand))).as("band"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oversized = sig.groupBy("band").count()
-      .filter(col("count") > maxBucket).select("band")
-    val pruned = sig.join(broadcast(oversized), Seq("band"), "left_anti")
-    val a = pruned.select(col("band"), col("id").as("id_a"))
-    val b = pruned.select(col("band"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val bands = sig.select(col("id"), col("__h"),
+      explode(tx.lshBands(col("__sig"), lit(rowsPerBand))).as("band"))
+    // one representative per (band, exact-text group); min id is stable
+    // across bands because identical texts share identical band sets
+    val grouped = bands.groupBy("band", "__h").agg(min(col("id")).as("rid"))
+    val guarded = grouped
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val candidates = guarded.as("a").join(guarded.as("b"),
+        col("a.band") === col("b.band") && col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("rid_a"), col("a.__h").as("ha"),
+        col("b.rid").as("rid_b"), col("b.__h").as("hb"))
+      .dropDuplicates("rid_a", "rid_b")
+    // texts re-join ONLY for the (typically tiny) surviving candidate set
     val texts = df.select(col(idName).as("__tid"), col(textName).as("__text"))
-    candidates
-      .join(texts, col("id_a") === col("__tid")).withColumnRenamed("__text", "text_a").drop("__tid")
-      .join(texts, col("id_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
+    val repPairs = candidates
+      .join(texts, col("rid_a") === col("__tid")).withColumnRenamed("__text", "text_a").drop("__tid")
+      .join(texts, col("rid_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
       .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("ha"), col("hb"), col("jaccard"))
+    expandGroups(members, grouped.select("__h"), repPairs, "jaccard", lit(1.0))
   }
 
   /** SimHash near-dup pairs: bucket on rotated 16-bit blocks (any pair
    *  within hamming distance <= maxHamming shares at least one of the 4
-   *  blocks by pigeonhole), verify hamming. */
+   *  blocks by pigeonhole), verify hamming. Same group-collapse +
+   *  windowed-bucket-guard shape as [[minhashPairs]]; sig == 0 (the
+   *  degenerate no-token signature of empty/whitespace pages) is excluded. */
   def simhashPairs(df: DataFrame, textName: String, idName: String,
                    maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
-    // sig == 0 is the degenerate no-token signature (empty/whitespace-only
-    // pages — ubiquitous in a web corpus): excluded from banding, and any
-    // block bucket over `maxBucket` is dropped (same guard rationale as
-    // minhashPairs: bounds the self-join at maxBucket² per bucket).
-    // ONE scan emits all 4 rotated blocks per row (posexplode of a 4-array)
-    // instead of a 4-way self-union re-reading and re-hashing the corpus;
-    // the compact (id, sig, block) frame is persisted for the count
-    // pre-pass + both self-join sides
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(textName).cast("binary"))
+    val members = df.select(col(idName).as("id"), h.as("__h"))
+    val sigs = df.select(col(idName).as("id"), h.as("__h"),
+        tx.simhash(col(textName)).as("sig"))
+      .filter(col("sig") =!= 0L)
+    // ONE scan emits all 4 rotated blocks per row (no 4-way self-union)
     val blockArr = array((0 until 4).map { b =>
       concat(lit(b.toString), lit(":"),
         (shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))).cast("string"))
     }: _*)
-    val blocks = df.select(col(idName).as("id"), tx.simhash(col(textName)).as("sig"))
-      .filter(col("sig") =!= 0L)
-      .select(col("id"), col("sig"), explode(blockArr).as("block"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oversized = blocks.groupBy("block").count()
-      .filter(col("count") > maxBucket).select("block")
-    val pruned = blocks.join(broadcast(oversized), Seq("block"), "left_anti")
-    val l = pruned.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = pruned.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val blocks = sigs.select(col("id"), col("__h"), col("sig"), explode(blockArr).as("block"))
+    val grouped = blocks.groupBy("block", "__h")
+      .agg(min("id").as("rid"), min("sig").as("rsig"))
+    val guarded = grouped
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy("block")))
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val repPairs = guarded.as("a").join(guarded.as("b"),
+        col("a.block") === col("b.block") && col("a.rid") < col("b.rid"))
+      .select(col("a.__h").as("ha"), col("b.__h").as("hb"),
+        col("a.rsig").as("sig_a"), col("b.rsig").as("sig_b"))
+      .dropDuplicates("ha", "hb")
       .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select("ha", "hb", "hamming")
+    expandGroups(members, grouped.select("__h"), repPairs, "hamming", lit(0))
+  }
+
+  /**
+   * Expand verified representative pairs back to member-id pairs:
+   * within-group pairs (exact duplicates — similarity = `withinSim` by
+   * construction) plus the cross product of the two member sets for every
+   * verified cross-group pair (identical texts per group ⇒ the pair
+   * similarity is the representatives'). All joins are equi-keyed on the
+   * 16-byte group hash; output size is the true answer size.
+   */
+  private def expandGroups(members: DataFrame, okHashes: DataFrame,
+                           repPairs: DataFrame, simName: String,
+                           withinSim: Column): DataFrame = {
+    val ok = members.join(okHashes.distinct(), Seq("__h"), "left_semi")
+    val within = ok.as("x").join(ok.as("y"),
+        col("x.__h") === col("y.__h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), withinSim.as(simName))
+    val cross = repPairs
+      .join(members.select(col("__h").as("ha"), col("id").as("__ia")), Seq("ha"))
+      .join(members.select(col("__h").as("hb"), col("id").as("__ib")), Seq("hb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col(simName))
+    within.union(cross)
   }
 
   /**

@@ -99,9 +99,12 @@ object Similarity {
               query: Array[Float], k: Int, nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    // bounded deterministic training sample: first nlist*64 rows by id
+    // bounded deterministic training sample, spread by HASH of the id (an
+    // id-order prefix trains on one corner of the space when ids correlate
+    // with content — data written sorted/clustered by topic is the norm)
     val sample = df.select(col(idName).as("id"), col(vecName).as("v"))
-      .orderBy("id").limit(nlist * 64).collect()
+      .orderBy(pmod(hash(col("id")), lit(1000003)).asc, col("id").asc)
+      .limit(nlist * 64).collect()
       .map(_.getSeq[Float](1).toArray)
     val centroids = trainCentroids(sample, nlist, trainIters)
     val bc = spark.sparkContext.broadcast(centroids)

@@ -131,44 +131,54 @@ object SpatialJoin {
     }
   }
 
+  /** S2 ladder levels for [[containsJoinS2]]: each polygon covers at the
+    * finest level whose cover fits the budget; each point emits its
+    * ancestor at every rung. */
+  val S2Levels: Array[Int] = Array(2, 4, 6, 8)
+  val S2Budget = 256
+
   /**
-   * Point-in-polygon join through the S2 cube-face tier: polygons cover
-   * their bounding box at one S2 level (sampled + ring closure,
-   * S2Lite.coverBBox), points encode to exactly one cell — every
-   * qualifying pair matches once, no dedupe. Same broadcast-or-salted
-   * strategy choice as the Z2 path, so the S2 tier is production-complete
-   * rather than broadcast-only.
+   * Point-in-polygon join through the S2 cube-face tier: each polygon
+   * covers its bounding box at its OWN adaptive S2 level (per-row budgeted
+   * cover — the Z2 path's shape; r2's single global level let one
+   * world-sized polygon coarsen every row's cover); each point encodes
+   * once at the finest ladder level and emits its ancestor at every rung,
+   * so every qualifying pair matches on exactly one cell — no dedupe.
+   * Same broadcast-or-salted strategy choice as the Z2 path, with the
+   * broadcast factor derived from the actual cover budget (not a constant).
    */
   def containsJoinS2(
       polys: DataFrame, xminName: String, yminName: String,
       xmaxName: String, ymaxName: String, polyGeomName: String,
       points: DataFrame, lonName: String, latName: String,
-      level: Int = -1,
+      levels: Array[Int] = S2Levels,
+      budget: Int = S2Budget,
       broadcastPolys: Option[Boolean] = None,
       salts: Int = 8,
       knownHotCells: Option[Array[Long]] = None): DataFrame = {
-    // level < 0 → derive from the WIDEST polygon (one tiny agg): the
-    // sampled cover is per-row CPU, so a fixed fine level would turn a
-    // world-sized box into a per-row bomb; the budget caps it the same way
-    // xzIntersectsJoin's plan-time degrade does
-    val lvl = if (level >= 0) level else {
-      val env = polys.agg(
-        max(col(xmaxName) - col(xminName)).as("w"),
-        max(col(ymaxName) - col(yminName)).as("h")).head()
-      if (env.isNullAt(0) || env.isNullAt(1)) 6
-      else graft.index.S2Lite.chooseLevel(0, 0, env.getDouble(0), env.getDouble(1),
-        budget = 512, levels = Array(2, 3, 4, 5, 6, 7, 8))
-    }
-    val polyCells = polys.withColumn("__pcell", explode(st.s2CoverBBox(
-      col(xminName), col(yminName), col(xmaxName), col(ymaxName), lit(lvl))))
-    val pointCells = points.withColumn("__qcell",
-      st.s2Encode(col(lonName), col(latName), lit(lvl)))
+    val polyCells = polys.withColumn("__pcell", explode(st.s2CoverBudget(
+      col(xminName), col(yminName), col(xmaxName), col(ymaxName),
+      lit(budget), typedLit(levels))))
+    val finest = levels.last
+    val withFinest = points.withColumn("__fcell",
+      st.s2Encode(col(lonName), col(latName), lit(finest)))
+    val ancestorCols = levels.map(l =>
+      if (l == finest) col("__fcell") else st.s2Parent(col("__fcell"), lit(l)))
+    val pointCells = withFinest
+      .withColumn("__qcell", explode(array(ancestorCols: _*)))
+      .drop("__fcell")
     val doBroadcast = broadcastPolys.getOrElse {
+      // same plan-statistics probe as the Z2 path; the cover multiplies
+      // build rows by at most `budget` (~budget/4 typical, like Z2)
+      val coverFactor = math.max(1, budget / 4).toLong
       val conf = polys.sparkSession.sessionState.conf
       val bytes = polys.queryExecution.optimizedPlan.stats.sizeInBytes
       if (bytes < BigInt(conf.defaultSizeInBytes))
-        bytes * 64 <= BigInt(256L * 1024 * 1024)
-      else polys.limit((BroadcastCoverRows / 64 + 1).toInt).count() <= BroadcastCoverRows / 64
+        bytes * coverFactor <= BigInt(256L * 1024 * 1024)
+      else {
+        val maxRows = BroadcastCoverRows / coverFactor
+        polys.limit((maxRows + 1).toInt).count() <= maxRows
+      }
     }
     coverJoin(polyCells, pointCells,
       pmod(hash(col(lonName), col(latName)), lit(salts)),

@@ -108,14 +108,31 @@ object IngestExport {
     * st_asgeojson. The id is emitted as a JSON string (RFC 7946 allows
     * string or number ids). */
   def toGeoJson(df: DataFrame, geomCol: String, idCol: String): DataFrame = {
-    // JSON-escape the id (backslash first, then quote) — string ids are
-    // arbitrary user data
-    val idEsc = regexp_replace(regexp_replace(col(idCol).cast("string"),
-      lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\""))
+    // JSON-escape the id — string ids are arbitrary user data: to_json of a
+    // one-field struct applies the full RFC 8259 escaping (backslash, quote
+    // AND control chars U+0000–U+001F, which hand-rolled replaces missed),
+    // then the quoted value is sliced out of the {"i":"..."} wrapper
+    val wrapped = to_json(struct(col(idCol).cast("string").as("i")))
+    // {"i":"<escaped>"} → strip the 6-char prefix and 2-char suffix
+    val idQuoted = wrapped.substr(lit(7), length(wrapped) - 8)
     df.select(concat(
-      lit("{\"type\":\"Feature\",\"id\":\""), idEsc,
+      lit("{\"type\":\"Feature\",\"id\":\""), idQuoted,
       lit("\",\"geometry\":"), st.asGeoJson(col(geomCol)),
       lit("}")).as("feature"))
+  }
+
+  /** GML 2 export (reference S10 GmlExport, FeatureExporter.scala:60-72):
+    * one `<gml:featureMember>` per row with the feature id and the GML
+    * geometry fragment for ANY geometry type; XML-escape the id. */
+  def toGml(df: DataFrame, geomCol: String, idCol: String,
+            typeName: String = "feature"): DataFrame = {
+    val idEsc = regexp_replace(regexp_replace(regexp_replace(
+      col(idCol).cast("string"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit("\""), lit("&quot;"))
+    df.select(concat(
+      lit(s"""<gml:featureMember><graft:$typeName fid=""""), idEsc,
+      lit("\"><graft:geom>"), st.asGml(col(geomCol)),
+      lit(s"</graft:geom></graft:$typeName></gml:featureMember>")).as("feature"))
   }
 
   /**

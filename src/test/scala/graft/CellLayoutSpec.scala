@@ -133,6 +133,48 @@ class CellLayoutSpec extends SparkSpec {
       col("lat") > 35 && col("lat") < 45).count() === exact)
   }
 
+  test("read derives fine-cell ranges that reach the parquet scan (PushedFilters)") {
+    val out = freshDir()
+    CellLayout.write(keyedPages, out, sfDir)
+    val box = (-80.0, 35.0, -70.0, 45.0)
+    val pruned = CellLayout.read(spark, out, Some(box))
+    // the sorted in-file key gets BETWEEN conjuncts pushed to the scan —
+    // row-group min/max pruning inside hot buckets, not just dir pruning
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec leaf")
+    val pushed = scan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("cell"), s"cell ranges must reach the scan: $pushed")
+    // ranges are a SUPERSET of the box (soundness) and at least as tight as
+    // bucket-only pruning (every surviving row's fine cell is in a range)
+    val exact = keyedPages.filter(col("lon") > -80 && col("lon") < -70 &&
+      col("lat") > 35 && col("lat") < 45).count()
+    assert(pruned.count() >= exact)
+    assert(pruned.filter(col("lon") > -80 && col("lon") < -70 &&
+      col("lat") > 35 && col("lat") < 45).count() === exact)
+    val ranges = graft.index.Z2.coverRanges(box._1, box._2, box._3, box._4,
+      CellLayout.BucketRes + 4, CellLayout.SortRes)
+    val cells = pruned.select("cell").collect().map(_.getLong(0))
+    assert(cells.forall(c => ranges.exists { case (lo, hi) => c >= lo && c <= hi }))
+  }
+
+  test("coverRanges: merged, sorted, and exactly the descendant intervals") {
+    import graft.index.Z2
+    val rs = Z2.coverRanges(-10.0, -10.0, 10.0, 10.0, 4, 8)
+    assert(rs.nonEmpty && rs.forall { case (lo, hi) => lo <= hi })
+    // superset: every fine cell of a point in the box falls in some range
+    val probe = Z2.encode(0.5, 0.5, 8)
+    assert(rs.exists { case (lo, hi) => probe >= lo && probe <= hi })
+    // sorted and non-overlapping
+    rs.sliding(2).foreach {
+      case Array((_, h1), (l2, _)) => assert(h1 < l2)
+      case _ =>
+    }
+    // a cell whose coarse ancestor is far outside the box is NOT covered
+    val outside = Z2.encode(120.0, -60.0, 8)
+    assert(!rs.exists { case (lo, hi) => outside >= lo && outside <= hi })
+  }
+
   test("space-time layout: day + bucket partitions both prune (reference date tier)") {
     val out = freshDir()
     val keyed = CellLayout.withSpaceTimeKeys(

@@ -43,15 +43,37 @@ class DedupGuardRecallSpec extends SparkSpec {
     assert(pairs.toSet === Set((9001L, 9002L)))
   }
 
-  test("minhashPairs: oversized band buckets are capped (count pre-pass)") {
+  test("minhashPairs: identical-doc mega-cluster survives the bucket cap") {
+    // r2 ADVICE regression: 500 byte-identical docs oversized EVERY band
+    // bucket and the cap silently dropped the whole cluster. The exact-group
+    // collapse makes the cluster ONE bucket slot; all its pairs come back.
     val docs = (0 until 500).map(i => (i.toLong, "identical shingled text content here"))
     val df = docs.toDF("doc_id", "text")
-    // cap 100 < 500 identical docs -> every band dropped -> no candidates
     val n = Dedup.minhashPairs(df, "text", "doc_id", maxBucket = 100).count()
-    assert(n === 0L)
-    // with the cap above the bucket size the exact pairs come back
-    val full = Dedup.minhashPairs(df.limit(20), "text", "doc_id", maxBucket = 1000).count()
-    assert(full === 190L) // C(20,2)
+    assert(n === 500L * 499L / 2L)
+  }
+
+  test("minhashPairs: bucket cap still drops buckets of many DISTINCT texts") {
+    val docs = Seq(
+      (9001L, "the quick brown fox jumps over the lazy dog again and again"),
+      (9002L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val df = docs.toDF("doc_id", "text")
+    // the two DISTINCT near-dups co-bucket (2 groups/bucket > cap 1) -> dropped
+    assert(Dedup.minhashPairs(df, "text", "doc_id", maxBucket = 1).count() === 0L)
+    // default cap: pair found
+    assert(Dedup.minhashPairs(df, "text", "doc_id").count() === 1L)
+  }
+
+  test("minhashPairs: cross-group expansion yields all member pairs") {
+    // group A: 3 copies; group B: 2 copies of a near-dup text. Expected
+    // pairs: C(3,2)=3 within A + C(2,2)=1 within B + 3*2=6 cross = 10.
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq((1L, tA), (2L, tA), (3L, tA), (10L, tB), (11L, tB))
+    val pairs = Dedup.minhashPairs(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L),
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L)))
   }
 
   test("simhashPairs: empty/whitespace docs excluded; cap applies") {
@@ -62,6 +84,13 @@ class DedupGuardRecallSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // 3000 empty docs all share sig=0 (would meet in every block); excluded
     assert(pairs.toSet === Set((9001L, 9002L)))
+  }
+
+  test("simhashPairs: identical-doc cluster survives the cap (group collapse)") {
+    val docs = (0 until 100).map(i => (i.toLong, "same genuine page text kept"))
+    val n = Dedup.simhashPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+      maxBucket = 10).count()
+    assert(n === 100L * 99L / 2L)
   }
 
   test("embedding nearDupPairs recall >= 0.9 vs brute-force pairs at bits=10") {

@@ -122,6 +122,46 @@ class IngestExportSpec extends SparkSpec {
     assert(parsed === "a\"b\\c", json)
   }
 
+  test("geojson id escaping: control characters stay valid JSON (r2 ADVICE)") {
+    val df = Seq(("a\nb\tcd", "POINT (1 2)")).toDF("id", "wkt")
+    val json = IngestExport.toGeoJson(
+      IngestExport.withWktGeometry(df, "wkt"), "geom", "id").head().getString(0)
+    // must parse as JSON at all (a raw newline inside the string would fail)
+    val parsed = Seq(json).toDF("j")
+      .select(get_json_object(col("j"), "$.id")).head().getString(0)
+    assert(parsed === "a\nb\tcd", json)
+    assert(!json.exists(c => c < ' '), s"raw control char leaked: $json")
+  }
+
+  test("GML export renders points, polygons and multi-geometries (S10)") {
+    val df = Seq(
+      ("p1", "POINT (1 2)"),
+      ("l1", "LINESTRING (0 0, 1 1, 2 0)"),
+      ("pg<1>", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+      ("mp", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"))
+      .toDF("id", "wkt")
+    val rows = IngestExport.toGml(IngestExport.withWktGeometry(df, "wkt"), "geom", "id")
+      .collect().map(_.getString(0))
+    val p = rows.find(_.contains("fid=\"p1\"")).get
+    assert(p.contains("<gml:Point><gml:coordinates>1,2</gml:coordinates></gml:Point>"), p)
+    val l = rows.find(_.contains("fid=\"l1\"")).get
+    assert(l.contains("<gml:LineString><gml:coordinates>0,0 1,1 2,0</gml:coordinates></gml:LineString>"), l)
+    val pg = rows.find(_.contains("fid=\"pg&lt;1>\"")).get
+    assert(pg.contains("<gml:outerBoundaryIs>") && pg.contains("<gml:innerBoundaryIs>"), pg)
+    val mp = rows.find(_.contains("fid=\"mp\"")).get
+    assert(mp.contains("<gml:MultiPolygon>") &&
+      mp.sliding("<gml:polygonMember>".length).count(_ == "<gml:polygonMember>") === 2, mp)
+    // well-formed XML: every fragment parses with the namespaces bound
+    // (JDK DocumentBuilder — namespace-aware, no extra deps)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    rows.foreach { r =>
+      val wrapped = s"""<root xmlns:gml="http://www.opengis.net/gml" xmlns:graft="urn:graft">$r</root>"""
+      dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(wrapped.getBytes("UTF-8")))
+    }
+  }
+
   test("lon/lat domain enforcement: reject drops, clamp folds into range") {
     val df = Seq((1L, 10.0, 20.0), (2L, -200.0, 10.0), (3L, 20.0, 95.0)).toDF("id", "lon", "lat")
     val rejected = IngestExport.enforceLonLatDomain(df, "lon", "lat")

@@ -126,6 +126,52 @@ class S2LiteSpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("s2_cover_budget: per-row level — a world-sized box degrades only itself") {
+    import graft.functions.st
+    import spark.implicits._
+    val df = Seq(
+      (1L, -0.1, -0.1, 0.1, 0.1),          // small box → fine level
+      (2L, -179.9, -84.9, 179.9, 84.9))    // world box → coarse level
+      .toDF("id", "xmin", "ymin", "xmax", "ymax")
+    val covers = df.select(col("id"), st.s2CoverBudget(col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"), lit(graft.ops.SpatialJoin.S2Budget),
+        typedLit(graft.ops.SpatialJoin.S2Levels)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val smallLv = covers(1L).map(S2Lite.levelOf).distinct
+    val worldLv = covers(2L).map(S2Lite.levelOf).distinct
+    assert(smallLv === Seq(graft.ops.SpatialJoin.S2Levels.last),
+      s"small box must keep the finest level, got $smallLv")
+    assert(worldLv.forall(_ <= 4), s"world box must degrade itself, got $worldLv")
+    assert(covers(2L).size <= graft.ops.SpatialJoin.S2Budget * 3,
+      "world cover stays budget-bounded")
+  }
+
+  test("containsJoinS2: a world-sized outlier polygon leaves results exact") {
+    import graft.pages.WebPages
+    import graft.functions.st
+    val world = WebPages.regions(spark, sfDir).limit(1).selectExpr(
+        "CAST(9999 AS BIGINT) AS region_id",
+        "-1799e-1 AS xmin", "-849e-1 AS ymin", "1799e-1 AS xmax", "849e-1 AS ymax")
+      .withColumn("region_geom", st.makeBox(col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+    val regions = WebPages.regions(spark, sfDir)
+      .select("region_id", "xmin", "ymin", "xmax", "ymax", "region_geom")
+      .union(world)
+    val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("region_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = pairs(graft.ops.SpatialJoin.containsJoin(
+      regions.select("region_id", "region_geom"), "region_geom",
+      WebPages.pages(spark, sfDir).select("doc_id", "geom"), "geom"))
+    val got = pairs(graft.ops.SpatialJoin.containsJoinS2(
+      regions, "xmin", "ymin", "xmax", "ymax", "region_geom",
+      pts, "lon", "lat", broadcastPolys = Some(true)))
+    assert(got === expect)
+    val inWorld = pts.filter(col("lon") > -179.9 && col("lon") < 179.9 &&
+      col("lat") > -84.9 && col("lat") < 84.9).count()
+    assert(expect.count(_._1 == 9999L) === inWorld,
+      "world polygon pairs with every in-box point")
+  }
+
   test("SQL surface: s2_encode / s2_parent / s2_neighbors / s2_cover_bbox") {
     val row = spark.sql(
       """SELECT s2_encode(10.5D, 45.5D, 8) AS c,
