@@ -357,9 +357,12 @@ object SparkEntry {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_layout_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       rmrf(new java.io.File(out))
+      // bucketRes sized to the table (64 world buckets at test sf — the
+      // layout knob a 100-TB table sets to the default 6/4096); read()
+      // infers the written resolution from the manifest
       val keyed = graft.layout.CellLayout.withCellKeys(
         pages(s, dir).select("doc_id", "lon", "lat"),
-        col("lon"), col("lat"), col("doc_id"))
+        col("lon"), col("lat"), col("doc_id"), bucketRes = 3)
       graft.layout.CellLayout.write(keyed, out, s"$dir/documents.parquet")
       graft.layout.CellLayout.read(s, out, queryBox = Some((-80.0, 35.0, -70.0, 45.0)))
         .filter(col("lon") > -80.0 && col("lon") < -70.0 &&

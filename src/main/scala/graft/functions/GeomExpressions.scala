@@ -266,6 +266,37 @@ case class StAsGeoJson(child: Expression) extends UnaryExpression with Serializa
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** vincenty_meters(lon1, lat1, lon2, lat2) → WGS84 ellipsoidal geodesic
+  * distance (reference kNN ranks by Vincenty, GeomDistance.scala:84-140);
+  * raw-coordinate variant so the kNN join ranks without building WKB. */
+case class VincentyMeters(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.size == 4, "vincenty_meters(lon1, lat1, lon2, lat2)")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else graft.geom.Geodesy.vincentyMeters(vs(0).asInstanceOf[Double],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.geom.Geodesy.vincentyMeters(${evs(0).value},
+            ${evs(1).value}, ${evs(2).value}, ${evs(3).value});
+        }""")
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
 /** st_asgml(geom) → GML 2 geometry fragment for ANY geometry type
   * (reference GmlExport, FeatureExporter.scala:60-72). */
 case class StAsGml(child: Expression) extends UnaryExpression with Serializable {

@@ -37,6 +37,8 @@ object st {
   def distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def distanceSphere(a: Column, b: Column): Column = col(StDistanceSphere(ex(a), ex(b)))
   def distanceSpheroid(a: Column, b: Column): Column = col(StDistanceSpheroid(ex(a), ex(b)))
+  def vincentyMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    col(VincentyMeters(Seq(ex(lon1), ex(lat1), ex(lon2), ex(lat2))))
   def area(g: Column): Column = col(StArea(ex(g)))
   def lengthGeom(g: Column): Column = col(StLengthGeom(ex(g)))
 
@@ -113,6 +115,7 @@ object st {
     f2("st_distance", StDistance)
     f2("st_distance_sphere", StDistanceSphere)
     f2("st_distance_spheroid", StDistanceSpheroid)
+    reg.createOrReplaceTempFunction("vincenty_meters", es => VincentyMeters(es), "built-in")
     f1("st_area", StArea)
     f1("st_length", StLengthGeom)
     f1("st_x", StX)

@@ -13,6 +13,10 @@ object Geodesy {
   private val WGS84_B = 6356752.314245
   private val WGS84_F = 1.0 / 298.257223563
 
+  /** WGS84 semi-minor axis — the radius of the inscribed sphere; chord
+    * bounds through it lower-bound any surface path on the ellipsoid. */
+  val PolarRadiusMeters: Double = WGS84_B
+
   /** Great-circle distance in meters (spherical haversine). */
   def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
     val dLat = math.toRadians(lat2 - lat1)

@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
  */
 object CellLayout {
 
-  /** Coarse directory-partition resolution (4096 world buckets max). */
+  /** Default coarse directory-partition resolution (4096 world buckets
+    * max) — size it so buckets hold GBs, not KBs: the bucket count should
+    * track the DATA size (the reference's shard count is a layout knob,
+    * AccumuloDataStore.scala:100-111), so small tables pass a coarser
+    * `bucketRes` to [[withCellKeys]] and reads infer the written
+    * resolution from the manifest. */
   val BucketRes = 6
   /** Fine sort-key resolution within files. */
   val SortRes = 14
@@ -43,9 +48,9 @@ object CellLayout {
   /** Projection: add `cell` (fine Z2 key), `bucket` (coarse ancestor) and
     * `salt` (hot-cell spreader: stable per-row hash mod `salts`). */
   def withCellKeys(df: DataFrame, lon: Column, lat: Column, idCol: Column,
-                   salts: Int = 8): DataFrame =
+                   salts: Int = 8, bucketRes: Int = BucketRes): DataFrame =
     df.withColumn("cell", st.z2Encode(lon, lat, lit(SortRes)))
-      .withColumn("bucket", st.cellParent(col("cell"), lit(BucketRes)))
+      .withColumn("bucket", st.cellParent(col("cell"), lit(bucketRes)))
       .withColumn("salt", pmod(hash(idCol), lit(salts)))
 
   /** Space × time keys: adds a `day` partition column from epoch seconds —
@@ -187,12 +192,17 @@ object CellLayout {
         df0.filter(col("day") >= d0 && col("day") <= d1)
       case _ => df0
     }
+    // the written bucket resolution rides inside the packed ids — read it
+    // from the manifest so tables written at a coarser bucketRes (small
+    // tables, tests) prune correctly without out-of-band metadata
+    val bucketRes = readManifest(outDir).keysIterator
+      .map(graft.index.Z2.resOf).nextOption().getOrElse(BucketRes)
     val pruned = queryBox match {
       case Some((x0, y0, x1, y1)) =>
         // filter the RAW partition column (int-typed from dir inference) so
         // the predicate stays a PartitionFilter — filtering through a cast
         // can defeat directory pruning
-        val cover = graft.index.Z2.coverBBox(x0, y0, x1, y1, BucketRes).map(_.toInt)
+        val cover = graft.index.Z2.coverBBox(x0, y0, x1, y1, bucketRes).map(_.toInt)
         // fine-cell range conjuncts on the SORTED in-file key: the bbox
         // cover at a finer resolution expands to `cell BETWEEN` ranges that
         // parquet row-group min/max stats prune INSIDE hot buckets — the
@@ -201,7 +211,7 @@ object CellLayout {
         // Range count bounded by the cover budget; still a superset of the
         // box (callers refine exactly, as with bucket pruning).
         val rangeRes = graft.index.Z2.chooseRes(x0, y0, x1, y1, budget = 64,
-          levels = Array(BucketRes, BucketRes + 2, BucketRes + 4))
+          levels = Array(bucketRes, bucketRes + 2, bucketRes + 4))
         val ranges = graft.index.Z2.coverRanges(x0, y0, x1, y1, rangeRes, SortRes)
         val rangeFilter = ranges.map { case (lo, hi) =>
           col("cell") >= lo && col("cell") <= hi
@@ -250,15 +260,18 @@ object CellLayout {
   def hotCellsFromManifest(outDir: String, minRows: Long,
                            levels: Array[Int] = graft.ops.SpatialJoin.DefaultLevels): Array[Long] = {
     val hot = readManifest(outDir).values.filter(_.rows > minRows).map(_.bucket).toSeq
-    levels.toSeq.flatMap {
-      case r if r <= BucketRes => hot.map(b => graft.index.Z2.parent(b, r))
-      case r if r <= BucketRes + 3 =>
-        hot.flatMap { b =>
-          val shift = 2 * (r - BucketRes)
+    // bucket ids carry their own resolution (packed), so a table written at
+    // a non-default bucketRes expands correctly
+    levels.toSeq.flatMap { r =>
+      hot.flatMap { b =>
+        val bRes = graft.index.Z2.resOf(b)
+        if (r <= bRes) Seq(graft.index.Z2.parent(b, r))
+        else if (r <= bRes + 3) {
+          val shift = 2 * (r - bRes)
           val base = graft.index.Z2.zOf(b) << shift
           (0L until (1L << shift)).map(q => graft.index.Z2.pack(base | q, r))
-        }
-      case _ => Seq.empty[Long]
+        } else Seq.empty[Long]
+      }
     }.distinct.toArray
   }
 

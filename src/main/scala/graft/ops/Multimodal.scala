@@ -63,6 +63,36 @@ object Multimodal {
       fingerprint(col("payload")).as("fp"),
       byteHistogram(col("payload"), bins).as("hist"))
 
+  /**
+   * Image near-duplicate pairs: REAL decoded luminance histograms as the
+   * feature vector, then the SAME multiprobe-LSH bucket join + exact
+   * cosine refine as [[Similarity.nearDupPairs]] — media dedup rides the
+   * text pipeline's scale machinery (bucket-keyed candidates, never
+   * all-pairs). Undecodable payloads drop out (null feature). Cosine over
+   * histograms is scale-invariant, so a resized copy of an image still
+   * matches its original.
+   */
+  def imageNearDupPairs(media: DataFrame, payloadName: String, idName: String,
+                        bins: Int = 32, threshold: Double = 0.97,
+                        bits: Int = 10, nprobe: Int = 3): DataFrame = {
+    val feats = media.select(col(idName),
+        imageLumaHist(col(payloadName), bins).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull)
+    Similarity.nearDupPairs(feats, "__v", idName, threshold, bits, nprobe)
+  }
+
+  /** Audio near-duplicate pairs over decoded RMS-envelope vectors — same
+    * shape as [[imageNearDupPairs]] (envelope = loudness-over-time
+    * signature; cosine is invariant to overall gain). */
+  def audioNearDupPairs(media: DataFrame, payloadName: String, idName: String,
+                        bins: Int = 32, threshold: Double = 0.97,
+                        bits: Int = 10, nprobe: Int = 3): DataFrame = {
+    val feats = media.select(col(idName),
+        audioRmsEnvelope(col(payloadName), bins).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull)
+    Similarity.nearDupPairs(feats, "__v", idName, threshold, bits, nprobe)
+  }
+
   /** Frame sampling for video rows: one output row per frame slice, with
     * per-frame feature columns (explode = the distributed batch shape). */
   def frames(media: DataFrame, n: Int): DataFrame =

@@ -97,14 +97,14 @@ object Similarity {
    */
   def ivfTopK(df: DataFrame, vecName: String, idName: String,
               query: Array[Float], k: Int, nlist: Int = 16, nprobe: Int = 4,
-              trainIters: Int = 3): DataFrame = {
+              trainIters: Int = 4): DataFrame = {
     val spark = df.sparkSession
     // bounded deterministic training sample, spread by HASH of the id (an
     // id-order prefix trains on one corner of the space when ids correlate
     // with content — data written sorted/clustered by topic is the norm)
     val sample = df.select(col(idName).as("id"), col(vecName).as("v"))
       .orderBy(pmod(hash(col("id")), lit(1000003)).asc, col("id").asc)
-      .limit(nlist * 64).collect()
+      .limit(nlist * 128).collect()
       .map(_.getSeq[Float](1).toArray)
     val centroids = trainCentroids(sample, nlist, trainIters)
     val bc = spark.sparkContext.broadcast(centroids)
@@ -152,32 +152,41 @@ object Similarity {
     best
   }
 
-  /** Deterministic k-means-lite: seeds = evenly spaced sample rows, then
-    * `iters` Lloyd rounds with cosine (dot on unit centroids) assignment;
+  /** Deterministic k-means-lite with model selection: Lloyd runs from
+    * several strided seed offsets; keep the run with the highest total
+    * sample-to-centroid similarity (lowest quantization error). All
+    * restarts are deterministic, so the trained model is reproducible;
     * empty clusters keep their previous centroid. */
   private[ops] def trainCentroids(sample: Array[Array[Float]], nlist: Int,
-                                  iters: Int): Array[Array[Float]] = {
+                                  iters: Int, restarts: Int = 3): Array[Array[Float]] = {
     require(sample.nonEmpty, "empty training sample")
-    val step = math.max(1, sample.length / nlist)
-    var cents = Array.tabulate(math.min(nlist, sample.length))(i =>
-      normalize(sample(math.min(i * step, sample.length - 1))))
-    var it = 0
-    while (it < iters) {
-      val dim = sample(0).length
-      val sums = Array.fill(cents.length, dim)(0.0)
-      val counts = new Array[Int](cents.length)
-      sample.foreach { v =>
-        val c = nearestCentroid(cents, v)
-        var j = 0
-        while (j < dim && j < v.length) { sums(c)(j) += v(j); j += 1 }
-        counts(c) += 1
+    val k = math.min(nlist, sample.length)
+    val dim = sample(0).length
+    def lloyd(seedOffset: Int): (Array[Array[Float]], Double) = {
+      val step = math.max(1, sample.length / k)
+      var cents = Array.tabulate(k)(i =>
+        normalize(sample((seedOffset + i * step) % sample.length)))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length, dim)(0.0)
+        val counts = new Array[Int](cents.length)
+        sample.foreach { v =>
+          val c = nearestCentroid(cents, v)
+          var j = 0
+          while (j < dim && j < v.length) { sums(c)(j) += v(j); j += 1 }
+          counts(c) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          if (counts(i) == 0) old
+          else normalize(sums(i).map(_.toFloat))
+        }
+        it += 1
       }
-      cents = cents.zipWithIndex.map { case (old, i) =>
-        if (counts(i) == 0) old
-        else normalize(sums(i).map(_.toFloat))
-      }
-      it += 1
+      val quality = sample.foldLeft(0.0)((acc, v) =>
+        acc + dotF(cents(nearestCentroid(cents, v)), normalize(v)))
+      (cents, quality)
     }
-    cents
+    val offsets = (0 until math.max(1, restarts)).map(r => r * (sample.length / (3 * k) + 1))
+    offsets.map(lloyd).maxBy(_._2)._1
   }
 }

@@ -293,21 +293,23 @@ object SpatialJoin {
       queries: DataFrame, qidName: String, qlonName: String, qlatName: String,
       data: DataFrame, dlonName: String, dlatName: String,
       dataIdName: String, k: Int, res: Int = 7,
-      geodetic: Boolean = false, ladderStep: Int = 3, ladderRungs: Int = 2): DataFrame = {
+      geodetic: Boolean = false, ladderStep: Int = 3, ladderRungs: Int = 2,
+      metric: String = "haversine"): DataFrame = {
+    require(metric == "haversine" || metric == "vincenty", s"metric $metric")
 
     val rungs = Iterator.iterate(res)(_ - ladderStep).takeWhile(_ >= 2).take(ladderRungs).toSeq
     var remaining = queries
     var parts = List.empty[DataFrame]
     rungs.foreach { r =>
       val (resolvedRanked, unresolved) = knnRound(remaining, qidName, qlonName, qlatName,
-        data, dlonName, dlatName, dataIdName, k, r, geodetic)
+        data, dlonName, dlatName, dataIdName, k, r, geodetic, metric)
       parts ::= resolvedRanked
       remaining = unresolved
     }
     // final safety net (AQE's empty-relation propagation elides it when the
     // ladder resolved every query — the remaining side arrives empty)
     val brute = knnBrute(remaining, qlonName, qlatName,
-      data, dlonName, dlatName, dataIdName, k, geodetic)
+      data, dlonName, dlatName, dataIdName, k, geodetic, metric)
     (brute :: parts).map(_.select(col(qidName), col(dataIdName), col("rank")))
       .reduce(_ union _)
   }
@@ -317,7 +319,8 @@ object SpatialJoin {
   private def knnRound(
       queries: DataFrame, qidName: String, qlonName: String, qlatName: String,
       data: DataFrame, dlonName: String, dlatName: String,
-      dataIdName: String, k: Int, res: Int, geodetic: Boolean): (DataFrame, DataFrame) = {
+      dataIdName: String, k: Int, res: Int, geodetic: Boolean,
+      metric: String = "haversine"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
 
     val cellW = 360.0 / (1L << res)
@@ -343,13 +346,26 @@ object SpatialJoin {
         def meridianBound(gapDeg: Column): Column =
           R * acos(greatest(lit(-1.0), least(lit(1.0),
             pow(sin(phiStar), 2) + pow(cos(phiStar), 2) * cos(radians(gapDeg)))))
-        base.withColumn("__bnd", least(
+        val hav = base.withColumn("__bnd", least(
           when(col("__miny") + 2 * cellH >= 90.0, inf)
             .otherwise(R * radians((col("__miny") + 2 * cellH) - col(qlatName))),
           when(col("__miny") - cellH <= -90.0, inf)
             .otherwise(R * radians(col(qlatName) - (col("__miny") - cellH))),
           meridianBound((col("__minx") + 2 * cellW) - col(qlonName)),
           meridianBound(col(qlonName) - (col("__minx") - cellW))))
+        if (metric != "vincenty") hav
+        else {
+          // Vincenty lower bound from the haversine bound R·σ: the WGS84
+          // geodesic between two surface points is at least the straight
+          // chord through the inscribed (polar-radius) sphere,
+          // 2·b·sin(σ/2); a 1% slack absorbs the geodetic-vs-geocentric
+          // latitude distortion of σ (< 0.4%). The ∞ sentinel (pole in the
+          // neighborhood) passes through untouched.
+          hav.withColumn("__bnd",
+            when(col("__bnd") >= lit(1e15), lit(Double.MaxValue))
+              .otherwise(lit(0.99 * 2.0 * graft.geom.Geodesy.PolarRadiusMeters) *
+                sin(col("__bnd") / lit(2.0 * graft.geom.Geodesy.EarthRadiusMeters))))
+        }
       }
     val q = withBound
       // 3×3 neighborhood: own cell + ≤8 neighbors (wraps lon, clamps poles)
@@ -358,7 +374,9 @@ object SpatialJoin {
 
     val joined = q.join(d, Seq("__cell"), "inner")
     val dist =
-      if (geodetic) haversineCol(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName))
+      if (geodetic && metric == "vincenty")
+        st.vincentyMeters(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName))
+      else if (geodetic) haversineCol(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName))
       else {
         val dx = joined(dlonName) - joined(qlonName)
         val dy = joined(dlatName) - joined(qlatName)
@@ -393,19 +411,25 @@ object SpatialJoin {
   private def knnBrute(
       queries: DataFrame, qlonName: String, qlatName: String,
       data: DataFrame, dlonName: String, dlatName: String,
-      dataIdName: String, k: Int, geodetic: Boolean): DataFrame =
-    if (geodetic) knnGeodetic(queries, qlonName, qlatName, data, dlonName, dlatName, dataIdName, k)
+      dataIdName: String, k: Int, geodetic: Boolean,
+      metric: String = "haversine"): DataFrame =
+    if (geodetic) knnGeodetic(queries, qlonName, qlatName, data, dlonName, dlatName, dataIdName, k, metric)
     else knnPlanar(queries, qlonName, qlatName, data, dlonName, dlatName, dataIdName, k)
 
-  /** Brute-force geodetic kNN: haversine-meters rank per query. */
+  /** Brute-force geodetic kNN: haversine- (or Vincenty-) meters rank per
+    * query (reference ranks kNN by Vincenty, GeomDistance.scala:84-140;
+    * haversine is this engine's default — deviation recorded in SURVEY §8). */
   def knnGeodetic(
       queries: DataFrame, qlonName: String, qlatName: String,
       data: DataFrame, dlonName: String, dlatName: String,
-      dataIdName: String, k: Int): DataFrame = {
+      dataIdName: String, k: Int, metric: String = "haversine"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = data.crossJoin(broadcast(queries))
     val withDist = joined.withColumn("__dm",
-      haversineCol(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName)))
+      if (metric == "vincenty")
+        st.vincentyMeters(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName))
+      else
+        haversineCol(joined(qlonName), joined(qlatName), joined(dlonName), joined(dlatName)))
     val qKeys = queries.columns.filter(c => c != qlonName && c != qlatName)
     val w = Window.partitionBy(qKeys.map(col): _*)
       .orderBy(col("__dm").asc, col(dataIdName).asc)

@@ -46,6 +46,31 @@ object Pipeline {
       graft.ops.Dedup.minhashPairs(scored, "text", "doc_id"), "id_a", "id_b")
     println(s"PIPELINE_DEDUP_SURVIVORS=${deduped.count()}")
 
+    // stage 1d: media near-dup — REAL decoded luma-histogram vectors ride
+    // the SAME LSH bucket machinery as text dedup (Multimodal →
+    // Similarity.nearDupPairs); fixture: 150 distinct synthetic PNGs + 50
+    // lightly-edited copies planted as near-duplicates
+    val media = {
+      import java.awt.image.BufferedImage
+      def png(seed: Int, w: Int, h: Int, threshDelta: Int = 0): Array[Byte] = {
+        val dark = 8 * (seed % 12) + 4; val bright = 255 - 8 * (seed % 9) - 4
+        val thresh = 20 + (seed * 7) % 60 + threshDelta
+        val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        (0 until h).foreach(y => (0 until w).foreach { x =>
+          val v = if ((x * 31 + y * 17 + seed * 13) % 97 < thresh) dark else bright
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        })
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", buf); buf.toByteArray
+      }
+      import spark.implicits._
+      ((0 until 150).map(s => (s.toLong, png(s, 48, 48))) ++
+        (0 until 50).map(s => (1000L + s, png(s, 48, 48, threshDelta = 2))))
+        .toDF("media_id", "payload").repartition(8)
+    }
+    val mediaPairs = graft.ops.Multimodal.imageNearDupPairs(media, "payload", "media_id")
+    println(s"PIPELINE_MEDIA_NEAR_DUPS=${mediaPairs.count()} (50 planted)")
+
     // stage 2: cell-keyed checkpointed write (resumable; manifest metrics)
     val keyed = CellLayout.withCellKeys(deduped, col("lon"), col("lat"), col("doc_id"))
     val manifest = CellLayout.write(keyed, outDir, inputPath = sfDir)

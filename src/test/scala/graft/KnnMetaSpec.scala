@@ -50,6 +50,68 @@ class KnnMetaSpec extends SparkSpec {
     }
   }
 
+  test("vincenty metric: knnJoin == brute Vincenty ranks at high latitude") {
+    import spark.implicits._
+    val ctrs = Seq((1L, 10.0, 72.0), (2L, -150.0, -75.0), (3L, 179.5, 65.0))
+      .toDF("qid", "clon", "clat")
+    val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")
+    val expect = SpatialJoin.knnGeodetic(ctrs, "clon", "clat", pts, "lon", "lat",
+        "doc_id", 5, metric = "vincenty")
+      .select("qid", "doc_id", "rank").collect()
+      .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+    Seq(3, 5).foreach { res =>
+      val got = SpatialJoin.knnJoin(ctrs, "qid", "clon", "clat",
+          pts, "lon", "lat", "doc_id", 5, res, geodetic = true, metric = "vincenty")
+        .select("qid", "doc_id", "rank").collect()
+        .map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSet
+      assert(got === expect, s"vincenty res=$res")
+    }
+  }
+
+  test("vincenty vs haversine: measurable divergence, bounded by the 1% slack") {
+    import graft.geom.Geodesy
+    // meridional pair near the pole: ellipsoid arc is ~0.4% longer than the
+    // mean-radius sphere's — the divergence the metric flag exists for
+    val v = Geodesy.vincentyMeters(10.0, 70.0, 10.0, 75.0)
+    val h = Geodesy.haversineMeters(10.0, 70.0, 10.0, 75.0)
+    assert(math.abs(v - h) / h > 2e-3, s"v=$v h=$h")
+    // certificate soundness: vincenty ≥ 0.99 · 2b·sin(σ/2) on a probe grid
+    for (lat1 <- Seq(-80.0, -40.0, 0.0, 40.0, 80.0); dlon <- Seq(0.5, 5.0, 60.0); dlat <- Seq(0.0, 3.0)) {
+      val vv = Geodesy.vincentyMeters(0.0, lat1, dlon, lat1 + dlat)
+      val hh = Geodesy.haversineMeters(0.0, lat1, dlon, lat1 + dlat)
+      val chord = 0.99 * 2.0 * Geodesy.PolarRadiusMeters *
+        math.sin(hh / (2.0 * Geodesy.EarthRadiusMeters))
+      assert(vv >= chord, s"lat1=$lat1 dlon=$dlon dlat=$dlat vv=$vv chord=$chord")
+    }
+  }
+
+  test("brute tail is elided from the final adaptive plan when the ladder resolves all") {
+    import spark.implicits._
+    // controlled fixture: every query has 10 immediate neighbors, so the
+    // kth distance sits far inside the ring bound at res 4 and EVERY query
+    // resolves at rung 1. The crossJoin-based brute tail then receives an
+    // empty query side and AQE's empty-relation propagation must remove
+    // the nested-loop join from the FINAL plan.
+    val centers = Seq((1L, 0.1, 0.1), (2L, 50.2, 10.3), (3L, -120.4, -30.2), (4L, 100.0, 60.0))
+    val qs = centers.toDF("qid", "clon", "clat")
+    val pts = centers.flatMap { case (q, lon, lat) =>
+      (0 until 10).map(i => (q * 100 + i, lon + i * 0.01, lat + i * 0.008))
+    }.toDF("doc_id", "lon", "lat")
+    val df = SpatialJoin.knnJoin(qs, "qid", "clon", "clat",
+      pts, "lon", "lat", "doc_id", 5, res = 4)
+    val rows = df.collect() // materialize so AQE finalizes the plan
+    assert(rows.length === 4 * 5, "every query returns exactly k rows")
+    // inspect ONLY the final adaptive plan (the string also prints the
+    // initial plan, where the nested-loop join legitimately still appears)
+    val finalPlan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"brute tail must be elided:\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("EmptyRelation"),
+      "the brute branch must collapse to an empty relation")
+  }
+
   test("ladder fallback: fine start resolution re-probes coarser before brute force") {
     val ctrs = WebPages.nationCenters(spark, sfDir).select("n_nationkey", "clon", "clat")
     val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")

@@ -165,6 +165,86 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(sqlMeta === 10)
   }
 
+  test("multimodal: image near-dup via luma-hist LSH finds planted resized copies (recall >= 0.9)") {
+    import java.awt.image.BufferedImage
+    // distinct two-tone images: per-seed dark/bright levels and mix ratio →
+    // distinct histogram shapes (uniform noise would make EVERYTHING a
+    // near-dup); mid-bin luma levels so bin assignment is stable
+    def img(seed: Int, w: Int, h: Int, threshDelta: Int = 0): Array[Byte] = {
+      val dark = 8 * (seed % 12) + 4          // mid-bin at bins=32
+      val bright = 255 - 8 * (seed % 9) - 4
+      val thresh = 20 + (seed * 7) % 60 + threshDelta
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val v = if ((x * 31 + y * 17 + seed * 13) % 97 < thresh) dark else bright
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", buf)
+      buf.toByteArray
+    }
+    val bases = (0 until 30).map(s => (s.toLong, img(s, 48, 48)))
+    // planted near-dups: lightly EDITED copies of the first 10 (~2% of
+    // pixels shift between the two tones — the slightly-retouched-copy
+    // case; a bilinear resize of this high-frequency pattern would smear
+    // the histogram, which is exactly why dedup keys on the histogram of
+    // the ORIGINAL pixels)
+    val dups = (0 until 10).map(s => (100L + s, img(s, 48, 48, threshDelta = 2)))
+    val rows = bases ++ dups
+    val df = rows.toDF("id", "payload")
+    // ground truth: brute all-pairs cosine over the SAME luma histograms
+    def hist(b: Array[Byte]) = graft.functions.ImageRT.lumaHistogram(b, 32).map(_.toFloat)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val feats = rows.map { case (id, b) => id -> hist(b) }.toMap
+    val thr = 0.97
+    val ids = rows.map(_._1)
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if cos(feats(ids(i)), feats(ids(j))) >= thr
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.size >= 10, s"fixture sanity: ${truth.size} planted pairs")
+    val got = graft.ops.Multimodal.imageNearDupPairs(df, "payload", "id", bins = 32,
+        threshold = thr).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"exact refine forbids false positives: ${got.diff(truth)}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (${got.size}/${truth.size})")
+  }
+
+  test("multimodal: audio near-dup via RMS-envelope LSH finds planted re-gained copies") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(seed: Int, gain: Double): Array[Byte] = {
+      val n = 4000
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        // per-seed loudness-over-time shape; gain rescales it (same shape)
+        val window = (i * 8) / n
+        val base = if ((seed >> window % 8 & 1) == 1 || (window + seed) % 3 == 0) 9000 else 600
+        val v = (base * gain).toInt * (if (i % 16 < 8) 1 else -1)
+        pcm(i * 2) = (v & 0xff).toByte; pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val rows = (0 until 12).map(s => (s.toLong, wav(s, 1.0))) ++
+      (0 until 4).map(s => (100L + s, wav(s, 0.5))) // re-gained copies
+    val df = rows.toDF("id", "payload")
+    val got = graft.ops.Multimodal.audioNearDupPairs(df, "payload", "id",
+        bins = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (s, 100+s) pair must surface (cosine is gain-invariant)
+    (0 until 4).foreach { s =>
+      assert(got.contains((s.toLong, 100L + s)), s"planted pair $s missing: $got")
+    }
+  }
+
   test("multimodal: REAL audio decode (WAV) meta + RMS envelope") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 16-bit mono 8kHz WAV: silence then a loud square wave
