@@ -76,6 +76,55 @@ object OracleMirror {
        |fp AS (SELECT doc_id, MIN(${toSigned("m")}) AS fp FROM mx GROUP BY doc_id)""".stripMargin
   }
 
+  // ---- HexLite mirrors ([[graft.index.HexLite]]): every fragment uses only
+  // ANSI ops (sqrt/floor/abs/CASE/arithmetic) with the kernel's exact
+  // operation order, so it runs bit-identically in Spark SQL (spec-checked)
+  // AND DuckDB (driver oracle). Spark's floor returns BIGINT where DuckDB
+  // returns DOUBLE — both exact integers here, so values agree. ----
+
+  /** Exact decimal literal for HexLite.sizeOf(res) = 8/2^res: 8·5^res e-res
+    * (finite binary fraction ⇒ finite decimal ⇒ exact in both parsers). */
+  def hexSizeLit(res: Int): String = s"${BigInt(8) * BigInt(5).pow(res)}e-$res"
+
+  /** Exact decimal literal for 2^-shift (HexLite.parent's axial scale). */
+  def hexScaleLit(shift: Int): String = s"${BigInt(5).pow(shift)}e-$shift"
+
+  /** Fractional axial coords (qf, rf) of (lon, lat) at `res`. */
+  def hexAxialSql(lon: String, lat: String, res: Int): (String, String) = {
+    val s = hexSizeLit(res)
+    (s"((sqrt(3e0) / 3e0 * ($lon) - ($lat) / 3e0) / $s)",
+      s"(((2e0 / 3e0) * ($lat)) / $s)")
+  }
+
+  /** Cube-rounded integral axial coords (q, r) from fractional (qf, rf) —
+    * the standard cube-rounding with floor(v + 1/2). */
+  def hexRoundedSql(qf: String, rf: String): (String, String) = {
+    val x = qf; val z = rf; val y = s"(-($qf) - $rf)"
+    val rx = s"floor($x + 5e-1)"; val ry = s"floor($y + 5e-1)"; val rz = s"floor($z + 5e-1)"
+    val dx = s"abs($rx - ($x))"; val dy = s"abs($ry - ($y))"; val dz = s"abs($rz - ($z))"
+    val b1 = s"($dx > $dy AND $dx > $dz)"
+    val b2 = s"($dy > $dz)"
+    (s"(CASE WHEN $b1 THEN -($ry) - $rz ELSE $rx END)",
+      s"(CASE WHEN NOT $b1 AND NOT $b2 THEN -($rx) - $ry ELSE $rz END)")
+  }
+
+  /** Packed cell id from integral (q, r) exprs at `res`. */
+  def hexPackSql(q: String, r: String, res: Int): String =
+    s"(CAST($res AS BIGINT) * 4398046511104 + (CAST($q AS BIGINT) + 1048576) * 2097152 + (CAST($r AS BIGINT) + 1048576))"
+
+  /** HexLite.encode(lon, lat, res) as one SQL expression. */
+  def hexIdSql(lon: String, lat: String, res: Int): String = {
+    val (qf, rf) = hexAxialSql(lon, lat, res)
+    val (q, r) = hexRoundedSql(qf, rf)
+    hexPackSql(q, r, res)
+  }
+
+  /** Hex center (lon, lat) from integral (q, r) exprs at `res`. */
+  def hexCenterSql(q: String, r: String, res: Int): (String, String) = {
+    val s = hexSizeLit(res)
+    (s"($s * sqrt(3e0) * ($q + $r / 2e0))", s"($s * 15e-1 * $r)")
+  }
+
   /** VecRT hyperplane-LSH bucket key of an `embedding` array<float> column:
     * bit i set iff the signed projection onto plane i is positive. The ±1
     * plane signs are emitted as literals from VecRT.planeSign (the same

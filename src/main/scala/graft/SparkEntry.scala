@@ -91,6 +91,33 @@ object SparkEntry {
           pages(s, dir).select("doc_id", "lon", "lat"), "lon", "lat")
         .select("region_id", "doc_id").orderBy("region_id", "doc_id")
     }),
+    "q_hex_contains_join" -> ((s, dir) => {
+      // the SAME point-in-polygon join routed through the hexagonal tier
+      // (HexLite — the "H3" half of "H3/S2 hierarchical cell indexing");
+      // must produce identical pairs to the Z2/S2 paths, so it shares
+      // q_st_contains_join's oracle
+      SpatialJoin.containsJoinHex(
+          regions(s, dir).select("region_id", "xmin", "ymin", "xmax", "ymax", "region_geom"),
+          "xmin", "ymin", "xmax", "ymax", "region_geom",
+          pages(s, dir).select("doc_id", "lon", "lat"), "lon", "lat")
+        .select("region_id", "doc_id").orderBy("region_id", "doc_id")
+    }),
+    "q_hex_density" -> ((s, dir) => {
+      // hex binning (the standard H3 aggregation use-case); the oracle
+      // recomputes the full axial cube-rounding encode in DuckDB SQL from
+      // OracleMirror's shared fragments — bit-exact id parity
+      pages(s, dir)
+        .groupBy(st.hexEncode(col("lon"), col("lat"), lit(2)).as("hex_cell"))
+        .agg(count(lit(1)).as("n")).orderBy("hex_cell")
+    }),
+    "q_hex_rollup" -> ((s, dir) => {
+      // hierarchical rollup: fine hexes (res 5) aggregated to their res-2
+      // ancestors via the H3-style center-containment parent
+      pages(s, dir)
+        .withColumn("h5", st.hexEncode(col("lon"), col("lat"), lit(5)))
+        .groupBy(st.hexParent(col("h5"), lit(2)).as("hex_parent"))
+        .agg(count(lit(1)).as("n")).orderBy("hex_parent")
+    }),
     "q_knn_geo" -> ((s, dir) => {
       // geodetic kNN: ranks by haversine METERS (reference NearestNeighbors
       // ranks geodetically) — different neighbor sets than q_knn at high
@@ -440,6 +467,30 @@ object SparkEntry {
          |SELECT r.region_id, p.doc_id FROM pages p JOIN regions r
          |ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax
          |ORDER BY r.region_id, p.doc_id""".stripMargin,
+    "q_hex_contains_join" ->
+      s"""WITH $CTE_PAGES, $CTE_REGIONS
+         |SELECT r.region_id, p.doc_id FROM pages p JOIN regions r
+         |ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax
+         |ORDER BY r.region_id, p.doc_id""".stripMargin,
+    "q_hex_density" ->
+      s"""WITH $CTE_PAGES
+         |SELECT ${OracleMirror.hexIdSql("lon", "lat", 2)} AS hex_cell, COUNT(*) AS n
+         |FROM pages GROUP BY 1 ORDER BY hex_cell""".stripMargin,
+    "q_hex_rollup" -> {
+      // the exact op sequence of HexLite.parent(HexLite.encode(lon,lat,5),2):
+      // res-5 axial → cube round → scale by exact 2^-3 → cube round → pack
+      // (axial coords are linear, so the parent needs no geometric
+      // center round-trip — see HexLite.parent)
+      val (qf5, rf5) = OracleMirror.hexAxialSql("lon", "lat", 5)
+      val (qd5, rd5) = OracleMirror.hexRoundedSql("qf", "rf")
+      val u = OracleMirror.hexScaleLit(3)
+      val (q2, r2) = OracleMirror.hexRoundedSql(s"(qd * $u)", s"(rd * $u)")
+      s"""WITH $CTE_PAGES,
+         |ax AS (SELECT doc_id, $qf5 AS qf, $rf5 AS rf FROM pages),
+         |rd AS (SELECT doc_id, $qd5 AS qd, $rd5 AS rd FROM ax)
+         |SELECT ${OracleMirror.hexPackSql(q2, r2, 2)} AS hex_parent, COUNT(*) AS n
+         |FROM rd GROUP BY 1 ORDER BY hex_parent""".stripMargin
+    },
     "q_knn_geo" ->
       s"""WITH $CTE_PAGES, $CTE_CTRS,
          |d AS (SELECT c.n_nationkey, p.doc_id,

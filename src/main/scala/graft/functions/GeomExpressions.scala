@@ -638,3 +638,113 @@ case class GeohashBox(child: Expression) extends UnaryExpression with Serializab
     defineCodeGen(ctx, ev, h => s"${RT.C}.geohashBoxWkb($h.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+// ---- HexLite hexagonal tier ([[graft.index.HexLite]]): the "H3" half of
+// the north star's H3/S2 pair — planar aperture-4 hierarchy, see the
+// HexLite scaladoc for the (documented) deviations from true H3. ----
+
+/** hex_encode(lon, lat, res) → packed hexagonal cell id. */
+case class HexEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(lon: Any, lat: Any, r: Any): Any =
+    graft.index.HexLite.encode(lon.asInstanceOf[Double], lat.asInstanceOf[Double], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, r) => s"graft.index.HexLite.encode($lon, $lat, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** hex_parent(cell, res) → coarser hex containing this cell's CENTER
+  * (H3-style APPROXIMATE containment — aggregation rollups only; never a
+  * join-cover derivation, see HexLite scaladoc). */
+case class HexParent(left: Expression, right: Expression) extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    graft.index.HexLite.parent(c.asInstanceOf[Long], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) => s"graft.index.HexLite.parent($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** hex_neighbors(cell) → array<long> of the 6 axial neighbors. */
+case class HexNeighbors(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any =
+    new GenericArrayData(graft.index.HexLite.neighbors(c.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.index.HexLite.neighbors($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** hex_cover_bbox(xmin, ymin, xmax, ymax, res) → array<long> superset
+  * cover (hexes whose center lies in the box expanded by circumradius). */
+case class HexCoverBBox(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.size == 5, "hex_cover_bbox(xmin, ymin, xmax, ymax, res)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else new GenericArrayData(graft.index.HexLite.coverBBox(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Int]))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.index.HexLite.coverBBox(${evs(0).value}, ${evs(1).value},
+              ${evs(2).value}, ${evs(3).value}, ${evs(4).value}));
+        }""")
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+/** hex_cover_budget(xmin, ymin, xmax, ymax, budget, levels) → array<long>:
+  * PER-ROW adaptive cover at the finest ladder level fitting the budget
+  * (same shape as CellCoverBudget / S2CoverBudget). */
+case class HexCoverBudget(children: Seq[Expression]) extends Expression with Serializable {
+  require(children.size == 6, "hex_cover_budget(xmin, ymin, xmax, ymax, budget, levels)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else new GenericArrayData(graft.index.HexLite.coverBudget(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Int],
+      vs(5).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => s"${e.isNull}").mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.index.HexLite.coverBudget(${evs(0).value}, ${evs(1).value},
+              ${evs(2).value}, ${evs(3).value}, ${evs(4).value},
+              ((org.apache.spark.sql.catalyst.util.ArrayData) ${evs(5).value}).toIntArray()));
+        }""")
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}

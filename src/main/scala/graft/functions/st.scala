@@ -80,6 +80,15 @@ object st {
   def s2CoverBudget(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
                     budget: Column, levels: Column): Column =
     col(S2CoverBudget(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax), ex(budget), ex(levels))))
+  def hexEncode(lon: Column, lat: Column, res: Column): Column =
+    col(HexEncode(ex(lon), ex(lat), ex(res)))
+  def hexParent(cell: Column, res: Column): Column = col(HexParent(ex(cell), ex(res)))
+  def hexNeighbors(cell: Column): Column = col(HexNeighbors(ex(cell)))
+  def hexCoverBBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column, res: Column): Column =
+    col(HexCoverBBox(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax), ex(res))))
+  def hexCoverBudget(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                     budget: Column, levels: Column): Column =
+    col(HexCoverBudget(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax), ex(budget), ex(levels))))
   def geohashEncode(lon: Column, lat: Column, chars: Column): Column =
     col(GeohashEncode(ex(lon), ex(lat), ex(chars)))
   def geohashBox(h: Column): Column = col(GeohashBox(ex(h)))
@@ -147,6 +156,11 @@ object st {
     f1("s2_neighbors", S2Neighbors)
     reg.createOrReplaceTempFunction("s2_cover_bbox", es => S2CoverBBox(es), "built-in")
     reg.createOrReplaceTempFunction("s2_cover_budget", es => S2CoverBudget(es), "built-in")
+    f3("hex_encode", HexEncode)
+    f2("hex_parent", HexParent)
+    f1("hex_neighbors", HexNeighbors)
+    reg.createOrReplaceTempFunction("hex_cover_bbox", es => HexCoverBBox(es), "built-in")
+    reg.createOrReplaceTempFunction("hex_cover_budget", es => HexCoverBudget(es), "built-in")
     f3("geohash_encode", GeohashEncode)
     f1("geohash_box", GeohashBox)
   }

@@ -186,6 +186,54 @@ object SpatialJoin {
       doBroadcast, salts, knownHotCells)
   }
 
+  /** Hex ladder resolutions for [[containsJoinHex]] (circumradius 4° → 0.25°). */
+  val HexLevels: Array[Int] = Array(1, 2, 3, 4, 5)
+  val HexBudget = 256
+
+  /**
+   * Point-in-polygon join through the hexagonal tier (HexLite — the "H3"
+   * half of the north star's H3/S2 pair). Each polygon covers its bbox at
+   * its OWN budgeted hex resolution; each point encodes DIRECTLY at every
+   * ladder level — hex hierarchies have only APPROXIMATE parent/child
+   * containment (a child hex is not inside its parent, exactly as in H3),
+   * so probe cells must NOT be derived via `hex_parent` bit/center math.
+   * Direct per-level encode keeps the superset proof: a point inside the
+   * polygon lies in its own hex at level L, which intersects the polygon,
+   * which is therefore in the polygon's level-L cover. One cover level per
+   * polygon + one cell per level per point ⇒ at most one match per pair ⇒
+   * no dedupe. Strategy choice shared with the Z2/S2 paths via coverJoin.
+   */
+  def containsJoinHex(
+      polys: DataFrame, xminName: String, yminName: String,
+      xmaxName: String, ymaxName: String, polyGeomName: String,
+      points: DataFrame, lonName: String, latName: String,
+      levels: Array[Int] = HexLevels,
+      budget: Int = HexBudget,
+      broadcastPolys: Option[Boolean] = None,
+      salts: Int = 8,
+      knownHotCells: Option[Array[Long]] = None): DataFrame = {
+    val polyCells = polys.withColumn("__pcell", explode(st.hexCoverBudget(
+      col(xminName), col(yminName), col(xmaxName), col(ymaxName),
+      lit(budget), typedLit(levels))))
+    val pointCells = points.withColumn("__qcell", explode(array(
+      levels.map(l => st.hexEncode(col(lonName), col(latName), lit(l))): _*)))
+    val doBroadcast = broadcastPolys.getOrElse {
+      val coverFactor = math.max(1, budget / 4).toLong
+      val conf = polys.sparkSession.sessionState.conf
+      val bytes = polys.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes < BigInt(conf.defaultSizeInBytes))
+        bytes * coverFactor <= BigInt(256L * 1024 * 1024)
+      else {
+        val maxRows = BroadcastCoverRows / coverFactor
+        polys.limit((maxRows + 1).toInt).count() <= maxRows
+      }
+    }
+    coverJoin(polyCells, pointCells,
+      pmod(hash(col(lonName), col(latName)), lit(salts)),
+      df => st.contains(df(polyGeomName), st.point(df(lonName), df(latName))),
+      doBroadcast, salts, knownHotCells)
+  }
+
   /** Probe-side cell histogram → cells whose estimated row count exceeds
     * `HotCellRows` (sampled; the cost model the reference drives from
     * cardinality hints, QueryStrategyDecider.scala:31-110). */

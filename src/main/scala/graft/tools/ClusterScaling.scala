@@ -1,0 +1,91 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Process-isolated scaling evidence (north rule: ≥0.8 throughput scaling
+ * from N to 4N EXECUTORS). Run via spark-submit so the master comes from
+ * the launcher — `local-cluster[N,cores,mem]` starts N separate executor
+ * JVMs on this box, each with its own heap, GC and task threads; only the
+ * physical memory bus is shared. This is the closest sandbox analog of a
+ * real N-executor cluster (no multi-host cluster available here).
+ *
+ *   spark-submit --master 'local-cluster[2,2,4096]' \
+ *     --class graft.tools.ClusterScaling graft.jar <sfDir> <pageRows> <label> <out.jsonl>
+ *   spark-submit --master 'local-cluster[8,2,4096]' ... # 4N executors
+ *
+ * Appends one JSON line per job to <out.jsonl>; [[ClusterScaling.report]]
+ * (mode `report <in.jsonl> <loLabel> <hiLabel> <out.md>`) merges two runs
+ * into the efficiency table in BENCH/CLUSTER.md.
+ */
+object ClusterScaling {
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("report")) { report(args(1), args(2), args(3), args(4)); return }
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val pageRows = args.lift(1).map(_.toLong).getOrElse(20000000L)
+    val label = args.lift(2).getOrElse("run")
+    val outPath = args.lift(3).getOrElse("BENCH/cluster_runs.jsonl")
+
+    // master + executor topology come from spark-submit; shuffle.partitions
+    // is passed as --conf (total cores). Everything else matches Bench.
+    val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    ScalingJobs.warmup(spark, sfDir)
+    val results = ScalingJobs.runAll(spark, sfDir, pageRows, label)
+    spark.stop()
+
+    val lines = results.map { r =>
+      f"""{"label":"${r.label}","job":"${r.job}","input_rows":${r.inputRows},"sec":${r.bestSec}%.3f,"rows_per_sec":${r.throughput}%.0f}"""
+    }.mkString("", "\n", "\n")
+    Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
+    Files.write(Paths.get(outPath), lines.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    print(lines)
+  }
+
+  /** Merge two labeled runs from the jsonl into a markdown efficiency table. */
+  def report(inPath: String, loLabel: String, hiLabel: String, outMd: String): Unit = {
+    case class Row(label: String, job: String, rows: Long, sec: Double) {
+      def thr: Double = rows / sec
+    }
+    val pat = """"label":"([^"]+)","job":"([^"]+)","input_rows":(\d+),"sec":([\d.]+)""".r
+    val rows = Files.readAllLines(Paths.get(inPath)).toArray.map(_.toString).flatMap { l =>
+      pat.findFirstMatchIn(l).map(m => Row(m.group(1), m.group(2), m.group(3).toLong, m.group(4).toDouble))
+    }
+    // keep the best (min sec) measurement per (label, job) across appended runs
+    val best = rows.groupBy(r => (r.label, r.job)).map { case (_, rs) => rs.minBy(_.sec) }.toSeq
+    val jobs = best.map(_.job).distinct.sorted
+    val sb = new StringBuilder
+    sb ++= "# BENCH / CLUSTER — process-isolated executor scaling\n\n"
+    sb ++= "Same five jobs as BENCH/BASELINE.md, run via spark-submit on\n"
+    sb ++= s"`local-cluster[N,cores,mem]` — SEPARATE executor JVMs (own heap/GC),\n"
+    sb ++= s"N=`$loLabel` vs 4N=`$hiLabel`. This is the north rule's N-vs-4N-executor\n"
+    sb ++= "criterion evidenced with real executor processes; only the physical\n"
+    sb ++= "memory bus is shared (no multi-host cluster exists in this sandbox).\n\n"
+    sb ++= "| job | config | input rows | sec | rows/sec |\n|---|---|---|---|---|\n"
+    best.sortBy(r => (r.job, r.label)).foreach { r =>
+      sb ++= f"| ${r.job} | ${r.label} | ${r.rows} | ${r.sec}%.3f | ${r.thr}%.0f |\n"
+    }
+    sb ++= s"\n## Scaling efficiency ($loLabel -> $hiLabel)\n\n"
+    sb ++= "| job | thr@N | thr@4N | speedup | efficiency (target >=0.8) |\n|---|---|---|---|---|\n"
+    jobs.foreach { j =>
+      for {
+        lo <- best.find(r => r.job == j && r.label == loLabel)
+        hi <- best.find(r => r.job == j && r.label == hiLabel)
+      } {
+        val sp = hi.thr / lo.thr
+        sb ++= f"| $j | ${lo.thr}%.0f | ${hi.thr}%.0f | $sp%.2fx | ${sp / 4.0}%.2f |\n"
+      }
+    }
+    Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)
+    Files.write(Paths.get(outMd), sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(sb.toString)
+  }
+}

@@ -2,21 +2,15 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.ops.{Density, SpatialJoin, SpatioTemporal}
-import graft.pages.WebPages
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /**
- * Scaling-efficiency evidence (north rule: ≥0.8 throughput scaling from N
- * to 4N executors, evidenced in this sandbox by running the SAME job at
- * local[8] and local[32] on the same input — no real cluster available).
- * Writes BENCH/BASELINE.md.
- *
- * Work is sized to dominate fixed overheads: the page side is the
- * deterministic synthetic generator (same LCG geoparse formulas and skew
- * profile as the sf fixtures — 30% of points in 3 city hot spots), so the
- * jobs are CPU/shuffle-bound like a cluster-scale run, not driver-bound.
+ * Thread-level scaling-efficiency evidence (north rule: ≥0.8 throughput
+ * scaling from N to 4N executors, evidenced in this sandbox by running the
+ * SAME job at multiple local[n] levels on the same input). Writes
+ * BENCH/BASELINE.md. Jobs live in [[ScalingJobs]] (shared with the
+ * process-isolated harness [[ClusterScaling]], which runs separate
+ * executor JVMs via spark-submit — see BENCH/CLUSTER.md).
  *
  * Run: `sbt "runMain graft.tools.Scaling [sfDir] [pageRows]"`.
  */
@@ -31,11 +25,7 @@ object Scaling {
     val levels = Seq(2, 8, 32)
     val repeats = 3
 
-    case class Res(cores: Int, job: String, inputRows: Long, bestSec: Double) {
-      def throughput: Double = inputRows / bestSec
-    }
-    val results = scala.collection.mutable.ArrayBuffer[Res]()
-
+    val results = scala.collection.mutable.ArrayBuffer[ScalingJobs.Res]()
     levels.foreach { n =>
       val spark = SparkSession.builder()
         .master(s"local[$n]")
@@ -45,61 +35,8 @@ object Scaling {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
-        // warmup: codegen + parquet footers
-        WebPages.syntheticPages(spark, 100000).agg(sum("sec")).collect()
-        WebPages.regions(spark, sfDir).count()
-
-        // FIXED partition count at every level: the task set is identical,
-        // only the worker count varies (a partitioning that tracked cores
-        // would change per-task overheads between levels and bias the
-        // efficiency ratio)
-        def pages = WebPages.syntheticPages(spark, pageRows, partitions = 128)
-        def time(job: String, rows: Long)(body: => Unit): Unit = {
-          val secs = (1 to repeats).map { _ =>
-            val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-          }
-          results += Res(n, job, rows, secs.min)
-        }
-
-        time("st_contains_join", pageRows) {
-          SpatialJoin.containsJoin(
-            WebPages.regions(spark, sfDir).select("region_id", "region_geom"), "region_geom",
-            pages.select("doc_id", "geom"), "geom").count()
-        }
-        time("density_grid", pageRows) {
-          Density.grid(pages, col("lon"), col("lat"),
-            -180.0, -85.0, 180.0, 85.0, 256, 128).count()
-        }
-        time("tube_select", pageRows) {
-          SpatioTemporal.tubeSelect(
-            WebPages.syntheticTrack(spark, 50000), "tid", "t_lon", "t_lat", "t_sec",
-            pages.select("doc_id", "lon", "lat", "sec"),
-            "doc_id", "lon", "lat", "sec",
-            bufferDeg = 2.0, tolSec = 172800L, broadcastTrack = Some(true)).count()
-        }
-        // the S2 cube-face tier must scale like the Z2 tier (same join shape,
-        // different cell math)
-        time("s2_contains_join", pageRows) {
-          import graft.functions.st
-          val level = 6
-          val polys = WebPages.regions(spark, sfDir)
-            .withColumn("__cell", explode(st.s2CoverBBox(
-              col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
-            .select("region_id", "region_geom", "__cell")
-          val pts = pages
-            .withColumn("__cell", st.s2Encode(col("lon"), col("lat"), lit(level)))
-            .select("doc_id", "geom", "__cell")
-          val joined = pts.join(broadcast(polys), Seq("__cell"), "inner")
-          joined.filter(st.contains(joined("region_geom"), joined("geom"))).count()
-        }
-        // LLM-pipeline tier: MinHash near-dup candidate generation + exact
-        // Jaccard verify end-to-end (CPU-bound signatures + band shuffle)
-        val docRows = math.max(1000000L, pageRows / 10)
-        time("minhash_dedup", docRows) {
-          graft.ops.Dedup.minhashPairs(
-            WebPages.syntheticDocs(spark, docRows, partitions = 128),
-            "text", "doc_id").count()
-        }
+        ScalingJobs.warmup(spark, sfDir) // codegen + parquet footers
+        results ++= ScalingJobs.runAll(spark, sfDir, pageRows, label = n.toString, repeats)
       } finally spark.stop()
     }
 
@@ -111,14 +48,14 @@ object Scaling {
     lines ++= s"best of $repeats runs per level; shuffle.partitions = cores.\n\n"
     lines ++= "| job | cores | input rows | sec | rows/sec |\n|---|---|---|---|---|\n"
     results.foreach { r =>
-      lines ++= f"| ${r.job} | ${r.cores} | ${r.inputRows} | ${r.bestSec}%.3f | ${r.throughput}%.0f |\n"
+      lines ++= f"| ${r.job} | ${r.label} | ${r.inputRows} | ${r.bestSec}%.3f | ${r.throughput}%.0f |\n"
     }
     Seq((2, 8), (8, 32)).foreach { case (lo, hi) =>
       lines ++= s"\n## Scaling efficiency (N=$lo -> 4N=$hi)\n\n"
       lines ++= s"| job | thr@$lo | thr@$hi | speedup | efficiency (target >=0.8) |\n|---|---|---|---|---|\n"
       results.groupBy(_.job).toSeq.sortBy(_._1).foreach { case (job, rs) =>
-        val tLo = rs.find(_.cores == lo).get.throughput
-        val tHi = rs.find(_.cores == hi).get.throughput
+        val tLo = rs.find(_.label == lo.toString).get.throughput
+        val tHi = rs.find(_.label == hi.toString).get.throughput
         val speedup = tHi / tLo
         lines ++= f"| $job | $tLo%.0f | $tHi%.0f | ${speedup}%.2fx | ${speedup / 4.0}%.2f |\n"
       }
@@ -126,6 +63,8 @@ object Scaling {
     lines ++= "\nNote: single-machine thread scaling under-states cluster scaling —\n"
     lines ++= "all 32 threads share one memory bus; separate executors add memory\n"
     lines ++= "bandwidth with cores. Efficiency here is a conservative lower bound.\n"
+    lines ++= "Process-isolated executor JVMs (spark-submit on local-cluster[N,c,m])\n"
+    lines ++= "are measured separately in `BENCH/CLUSTER.md` (tools/ClusterScaling).\n"
     lines ++= "\nSkew handling is measured separately in `BENCH/SKEW.md`\n"
     lines ++= "(tools/SkewBench.scala: hot-cell salting 1.75x over no-mitigation on\n"
     lines ++= "the same skewed workload where AQE skew-split alone gives 1.02x).\n"

@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.ops.{Density, SpatialJoin, SpatioTemporal}
+import graft.pages.WebPages
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The five scaling-evidence jobs, shared by the thread-level harness
+ * ([[Scaling]]: local[2/8/32], one JVM) and the process-isolated harness
+ * ([[ClusterScaling]]: spark-submit on local-cluster[N,c,m] — separate
+ * executor JVMs, each with its own heap and memory bandwidth, the closest
+ * sandbox analog of the north rule's "N vs 4N executors").
+ *
+ * The task set is FIXED (128 input partitions at every level) so only the
+ * worker count varies between levels; work is the deterministic synthetic
+ * generator with the fixture skew profile (30% of points in 3 city hot
+ * spots), so the jobs are CPU/shuffle-bound, not driver- or IO-bound.
+ */
+object ScalingJobs {
+
+  case class Res(label: String, job: String, inputRows: Long, bestSec: Double) {
+    def throughput: Double = inputRows / bestSec
+  }
+
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
+    WebPages.syntheticPages(spark, 100000).agg(sum("sec")).collect()
+    WebPages.regions(spark, sfDir).count()
+  }
+
+  /** Runs all five jobs (best of `repeats`) and returns the measurements. */
+  def runAll(spark: SparkSession, sfDir: String, pageRows: Long,
+             label: String, repeats: Int = 3): Seq[Res] = {
+    val results = scala.collection.mutable.ArrayBuffer[Res]()
+    def pages: DataFrame = WebPages.syntheticPages(spark, pageRows, partitions = 128)
+    def time(job: String, rows: Long)(body: => Unit): Unit = {
+      val secs = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      results += Res(label, job, rows, secs.min)
+    }
+
+    time("st_contains_join", pageRows) {
+      SpatialJoin.containsJoin(
+        WebPages.regions(spark, sfDir).select("region_id", "region_geom"), "region_geom",
+        pages.select("doc_id", "geom"), "geom").count()
+    }
+    time("density_grid", pageRows) {
+      Density.grid(pages, col("lon"), col("lat"),
+        -180.0, -85.0, 180.0, 85.0, 256, 128).count()
+    }
+    time("tube_select", pageRows) {
+      SpatioTemporal.tubeSelect(
+        WebPages.syntheticTrack(spark, 50000), "tid", "t_lon", "t_lat", "t_sec",
+        pages.select("doc_id", "lon", "lat", "sec"),
+        "doc_id", "lon", "lat", "sec",
+        bufferDeg = 2.0, tolSec = 172800L, broadcastTrack = Some(true)).count()
+    }
+    // the S2 cube-face tier must scale like the Z2 tier (same join shape,
+    // different cell math)
+    time("s2_contains_join", pageRows) {
+      import graft.functions.st
+      val level = 6
+      val polys = WebPages.regions(spark, sfDir)
+        .withColumn("__cell", explode(st.s2CoverBBox(
+          col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
+        .select("region_id", "region_geom", "__cell")
+      val pts = pages
+        .withColumn("__cell", st.s2Encode(col("lon"), col("lat"), lit(level)))
+        .select("doc_id", "geom", "__cell")
+      val joined = pts.join(broadcast(polys), Seq("__cell"), "inner")
+      joined.filter(st.contains(joined("region_geom"), joined("geom"))).count()
+    }
+    // LLM-pipeline tier: MinHash near-dup candidate generation + exact
+    // Jaccard verify end-to-end (CPU-bound signatures + band shuffle)
+    val docRows = math.max(1000000L, pageRows / 10)
+    time("minhash_dedup", docRows) {
+      graft.ops.Dedup.minhashPairs(
+        WebPages.syntheticDocs(spark, docRows, partitions = 128),
+        "text", "doc_id").count()
+    }
+    results.toSeq
+  }
+}
