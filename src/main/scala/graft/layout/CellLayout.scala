@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
  *                                             Accumulo range pruning)
  *     _graft_manifest.json                  — snapshot manifest: per-bucket
  *                                             lineage + row/byte metrics
+ *     _graft_snapshots/v00001.json …        — immutable snapshot history
+ *                                             (one per wave checkpoint);
+ *                                             read(snapshot = Some(v))
+ *                                             time-travels, Iceberg-style
  *
  * Rows inside each bucket are range-partitioned and sorted by the FULL cell
  * key + salt, so parquet row-group min/max stats prune within a bucket the
@@ -65,11 +69,41 @@ object CellLayout {
   // ---- manifest I/O (tiny hand-rolled JSON; no extra deps) ----
 
   private def manifestPath(outDir: String) = Paths.get(outDir, "_graft_manifest.json")
+  private def snapshotDir(outDir: String) = Paths.get(outDir, "_graft_snapshots")
+  private def snapshotPath(outDir: String, v: Int) =
+    snapshotDir(outDir).resolve(f"v$v%05d.json")
+
+  /** Snapshot versions on disk, ascending (Iceberg-style history: every
+    * wave checkpoint appends an immutable snapshot file; the un-versioned
+    * manifest is the current-snapshot pointer). */
+  def snapshotVersions(outDir: String): Seq[Int] = {
+    val d = snapshotDir(outDir)
+    if (!Files.exists(d)) return Seq.empty
+    val walk = Files.list(d)
+    try walk.toArray.map(_.toString)
+      .flatMap("""v(\d+)\.json$""".r.findFirstMatchIn(_).map(_.group(1).toInt))
+      .sorted.toSeq
+    finally walk.close()
+  }
+
+  /** Manifest as of a snapshot version (time travel): buckets are written
+    * once and never rewritten after their manifest entry commits, so the
+    * bucket set of snapshot v reconstructs that state exactly. */
+  def readManifest(outDir: String, snapshot: Option[Int]): Map[Long, BucketMeta] =
+    snapshot match {
+      case None => readManifest(outDir)
+      case Some(v) =>
+        require(Files.exists(snapshotPath(outDir, v)), s"no snapshot v$v in $outDir")
+        parseManifest(new String(Files.readAllBytes(snapshotPath(outDir, v)), StandardCharsets.UTF_8))
+    }
 
   def readManifest(outDir: String): Map[Long, BucketMeta] = {
     val p = manifestPath(outDir)
     if (!Files.exists(p)) return Map.empty
-    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private def parseManifest(txt: String): Map[Long, BucketMeta] = {
     // lines of: {"bucket":1,"rows":2,"bytes":3,"files":1,"wave":0,"input":"...","wallMs":5}
     txt.linesIterator.filter(_.contains("\"bucket\"")).map { line =>
       def lng(k: String): Long =
@@ -89,6 +123,12 @@ object CellLayout {
     val tmp = Paths.get(outDir, "_graft_manifest.json.tmp")
     Files.createDirectories(Paths.get(outDir))
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    // snapshot BEFORE the pointer move: a crash between the two leaves an
+    // extra snapshot file whose state the pointer catches up to on the next
+    // checkpoint — readers of the pointer never see a torn state
+    val v = snapshotVersions(outDir).lastOption.getOrElse(0) + 1
+    Files.createDirectories(snapshotDir(outDir))
+    Files.write(snapshotPath(outDir, v), body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(outDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -182,20 +222,31 @@ object CellLayout {
   }
 
   /** Read a cell table back; `queryBox` prunes directory partitions via the
-    * coarse bucket cover (partition pruning ≙ Accumulo ranges). */
+    * coarse bucket cover (partition pruning ≙ Accumulo ranges). `snapshot`
+    * time-travels to an earlier manifest version: buckets are append-once,
+    * so restricting the scan to the snapshot's bucket set (a partition
+    * filter) reconstructs that state exactly — Iceberg-style snapshot
+    * isolation without rewriting data. */
   def read(spark: SparkSession, outDir: String,
            queryBox: Option[(Double, Double, Double, Double)] = None,
-           dayRange: Option[(Long, Long)] = None): DataFrame = {
+           dayRange: Option[(Long, Long)] = None,
+           snapshot: Option[Int] = None): DataFrame = {
+    val manifest = readManifest(outDir, snapshot)
     val df0 = spark.read.parquet(outDir)
+    val snapped = snapshot match {
+      // raw int-typed partition column keeps this a PartitionFilter
+      case Some(_) => df0.filter(col("bucket").isin(manifest.keysIterator.map(_.toInt).toSeq: _*))
+      case None => df0
+    }
     val df = dayRange match {
-      case Some((d0, d1)) if df0.columns.contains("day") =>
-        df0.filter(col("day") >= d0 && col("day") <= d1)
-      case _ => df0
+      case Some((d0, d1)) if snapped.columns.contains("day") =>
+        snapped.filter(col("day") >= d0 && col("day") <= d1)
+      case _ => snapped
     }
     // the written bucket resolution rides inside the packed ids — read it
     // from the manifest so tables written at a coarser bucketRes (small
     // tables, tests) prune correctly without out-of-band metadata
-    val bucketRes = readManifest(outDir).keysIterator
+    val bucketRes = manifest.keysIterator
       .map(graft.index.Z2.resOf).nextOption().getOrElse(BucketRes)
     val pruned = queryBox match {
       case Some((x0, y0, x1, y1)) =>
@@ -276,13 +327,15 @@ object CellLayout {
   }
 
   /** Count estimate from the manifest — no scan (reference A6: record-table
-    * entry count as the estimate, AccumuloFeatureSource.scala:57-80). */
-  def countEstimate(outDir: String): Long = readManifest(outDir).values.map(_.rows).sum
+    * entry count as the estimate, AccumuloFeatureSource.scala:57-80);
+    * `snapshot` estimates the count as of that version. */
+  def countEstimate(outDir: String, snapshot: Option[Int] = None): Long =
+    readManifest(outDir, snapshot).values.map(_.rows).sum
 
   /** Spatial bounds estimate from bucket cell ids — no scan (reference A7:
     * catalog-metadata bounds, data/package.scala:48-49). */
-  def boundsEstimate(outDir: String): Option[(Double, Double, Double, Double)] = {
-    val buckets = readManifest(outDir).keySet
+  def boundsEstimate(outDir: String, snapshot: Option[Int] = None): Option[(Double, Double, Double, Double)] = {
+    val buckets = readManifest(outDir, snapshot).keySet
     if (buckets.isEmpty) None
     else Some(buckets.map(graft.index.Z2.bounds).foldLeft((180.0, 90.0, -180.0, -90.0)) {
       case ((x0, y0, x1, y1), (bx0, by0, bx1, by1)) =>

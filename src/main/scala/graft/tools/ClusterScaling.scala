@@ -28,6 +28,7 @@ object ClusterScaling {
     val pageRows = args.lift(1).map(_.toLong).getOrElse(20000000L)
     val label = args.lift(2).getOrElse("run")
     val outPath = args.lift(3).getOrElse("BENCH/cluster_runs.jsonl")
+    val only = args.lift(4).map(_.split(",").toSet).getOrElse(Set.empty[String])
 
     // master + executor topology come from spark-submit; shuffle.partitions
     // is passed as --conf (total cores). Everything else matches Bench.
@@ -38,7 +39,7 @@ object ClusterScaling {
     spark.sparkContext.setLogLevel("WARN")
 
     ScalingJobs.warmup(spark, sfDir)
-    val results = ScalingJobs.runAll(spark, sfDir, pageRows, label)
+    val results = ScalingJobs.runAll(spark, sfDir, pageRows, label, only = only)
     spark.stop()
 
     val lines = results.map { r =>

@@ -28,12 +28,14 @@ object ScalingJobs {
     WebPages.regions(spark, sfDir).count()
   }
 
-  /** Runs all five jobs (best of `repeats`) and returns the measurements. */
+  /** Runs the five jobs (best of `repeats`) and returns the measurements;
+    * `only` restricts to a subset (diagnosis runs). */
   def runAll(spark: SparkSession, sfDir: String, pageRows: Long,
-             label: String, repeats: Int = 3): Seq[Res] = {
+             label: String, repeats: Int = 3, only: Set[String] = Set.empty): Seq[Res] = {
     val results = scala.collection.mutable.ArrayBuffer[Res]()
     def pages: DataFrame = WebPages.syntheticPages(spark, pageRows, partitions = 128)
     def time(job: String, rows: Long)(body: => Unit): Unit = {
+      if (only.nonEmpty && !only.contains(job)) return
       val secs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }

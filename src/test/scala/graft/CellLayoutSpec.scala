@@ -193,4 +193,42 @@ class CellLayoutSpec extends SparkSpec {
     assert(CellLayout.countEstimate(out) === keyed.count())
     assert(CellLayout.readManifest(out).values.forall(m => m.bytes > 0 && m.files > 0))
   }
+
+  test("snapshot history: every wave checkpoint is an immutable version; read time-travels") {
+    val out = freshDir()
+    // two invocations of two waves each → snapshots v1..v4
+    CellLayout.write(keyedPages, out, sfDir, waves = 4, maxWaves = 2)
+    val vsPartial = CellLayout.snapshotVersions(out)
+    assert(vsPartial === Seq(1, 2))
+    CellLayout.write(keyedPages, out, sfDir, waves = 4) // resume to completion
+    // the resume re-splits pending buckets into its own waves, so history
+    // keeps growing: contiguous versions, one per completed wave
+    val vs = CellLayout.snapshotVersions(out)
+    assert(vs === (1 to vs.max))
+    assert(vs.size > 2)
+
+    // the current pointer equals the last snapshot
+    assert(CellLayout.readManifest(out) === CellLayout.readManifest(out, Some(vs.max)))
+    // versions grow monotonically in bucket count and rows
+    val counts = vs.map(v => CellLayout.countEstimate(out, Some(v)))
+    assert(counts === counts.sorted)
+    assert(counts.last === keyedPages.count())
+
+    // time travel: reading at snapshot 2 returns exactly the rows of the
+    // buckets committed by the first invocation — no more, no less
+    val m2 = CellLayout.readManifest(out, Some(2))
+    assert(CellLayout.read(spark, out, snapshot = Some(2)).count() ===
+      m2.values.map(_.rows).sum)
+    // and the snapshot read composes with spatial pruning (superset + refine)
+    val box = (-80.0, 35.0, -70.0, 45.0)
+    val snapBox = CellLayout.read(spark, out, queryBox = Some(box), snapshot = Some(2))
+      .filter(col("lon") > box._1 && col("lon") < box._3 &&
+        col("lat") > box._2 && col("lat") < box._4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullBox = CellLayout.read(spark, out, queryBox = Some(box))
+      .filter(col("lon") > box._1 && col("lon") < box._3 &&
+        col("lat") > box._2 && col("lat") < box._4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snapBox.subsetOf(fullBox))
+  }
 }
