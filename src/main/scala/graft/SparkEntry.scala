@@ -412,6 +412,16 @@ object SparkEntry {
         .filter(st.contains(st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0)), col("geom")))
         .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
         .orderBy("lang")
+    }),
+    "q_geoparse" -> ((s, dir) => {
+      // geoparse pipeline (north star: "geoparsing page text/metadata into
+      // geometries"): pages whose html head carries a geo.position meta tag
+      // → regexp extraction → typed lon/lat; untagged rows drop out. The
+      // oracle computes the same coordinates arithmetically, so the gate
+      // proves the build→parse→cast round trip bit-for-bit.
+      WebPages.geoparse(WebPages.pagesWithGeoTags(s, dir))
+        .filter(col("geo_lon").isNotNull)
+        .select("doc_id", "geo_lon", "geo_lat").orderBy("doc_id")
     })
   )
 
@@ -765,6 +775,26 @@ object SparkEntry {
       s"""WITH $CTE_PAGES
          |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM pages
          |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0
-         |GROUP BY lang ORDER BY lang""".stripMargin
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_geoparse" ->
+      // the engine extracts lat/lon from the geo.position html tag; the
+      // oracle derives the same milli-degree values arithmetically and
+      // routes them through the SAME exact-decimal-string → DOUBLE cast
+      // (correctly rounded identically in both engines)
+      s"""WITH m AS (
+         |  SELECT doc_id, $GP_LON_MILLI AS lonm, $GP_LAT_MILLI AS latm
+         |  FROM documents WHERE $GP_TAGGED),
+         |s AS (
+         |  SELECT doc_id,
+         |    CONCAT(CASE WHEN lonm < 0 THEN '-' ELSE '' END,
+         |      CAST(ABS(lonm) // 1000 AS VARCHAR), '.',
+         |      LPAD(CAST(ABS(lonm) % 1000 AS VARCHAR), 3, '0')) AS lon_s,
+         |    CONCAT(CASE WHEN latm < 0 THEN '-' ELSE '' END,
+         |      CAST(ABS(latm) // 1000 AS VARCHAR), '.',
+         |      LPAD(CAST(ABS(latm) % 1000 AS VARCHAR), 3, '0')) AS lat_s
+         |  FROM m)
+         |SELECT doc_id, CAST(lon_s AS DOUBLE) AS geo_lon,
+         |  CAST(lat_s AS DOUBLE) AS geo_lat
+         |FROM s ORDER BY doc_id""".stripMargin
   )
 }

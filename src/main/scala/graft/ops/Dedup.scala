@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
  * candidate join keys are the LSH buckets, never a cross join).
  *
  * Both near-dup paths collapse exact-duplicate texts to ONE representative
- * per group BEFORE candidate generation (grouped by content hash at the
- * band/block shuffle, so the text column itself never shuffles): a web
+ * per group BEFORE candidate generation (one group-by on the 16-byte
+ * content hash, upstream of the band/block shuffle; the text column itself
+ * never shuffles): a web
  * corpus's >maxBucket cluster of byte-identical boilerplate pages (404s,
  * templates) would otherwise oversize EVERY band bucket it touches and be
  * silently dropped by the cap — exact duplicates are a group-by problem,
@@ -40,35 +41,42 @@ object Dedup {
    * jaccard >= threshold. numHashes=32, 8 bands x 4 rows targets ~0.6+
    * similarity candidates.
    *
-   * Scale shape: candidate generation shuffles ONLY (band, group-hash, id)
-   * keys — never the text (KBs/row at corpus scale; keys are ~24 bytes).
-   * Guards against degenerate buckets:
+   * Scale shape: signatures are computed where the text lives (text never
+   * shuffles), then exact-duplicate groups collapse to ONE representative
+   * BEFORE banding — one group-by on the 16-byte content hash — so the band
+   * shuffle that feeds the self-join carries only (band:long, rid:long,
+   * __h:16B) rows. The r2 shape grouped (band, hex-string-hash, id) AFTER
+   * the band explode, shuffling ~2× the bytes through two exchanges (the
+   * (band,__h) group-by partitioning didn't match the window's
+   * partitionBy(band), costing a second full shuffle of the band frame) —
+   * the process-isolated scaling runs showed this join shuffle-volume-bound
+   * at 0.47 efficiency. Guards against degenerate buckets:
    *  1. docs with fewer than `shingle` tokens have no shingle set, hence no
    *     meaningful Jaccard — excluded entirely (exact-dedup territory);
-   *  2. exact-duplicate texts occupy ONE slot per band bucket (see object
-   *     doc) — a boilerplate mega-cluster can no longer oversize buckets;
+   *  2. exact-duplicate texts occupy ONE band slot via the rep collapse
+   *     (see object doc) — a boilerplate mega-cluster can no longer
+   *     oversize buckets;
    *  3. any band bucket still holding more than `maxBucket` DISTINCT texts
    *     is dropped from candidate generation. The count rides a window
    *     aggregate over the same hash partitioning the self-join needs, so
-   *     the guard costs no extra job, no persist (the r2 persist both
-   *     leaked cache entries and regressed small-sf latency) — Catalyst
-   *     reuses the exchange for both join sides.
+   *     the guard costs no extra job, no persist — Catalyst reuses the
+   *     exchange for both join sides.
    */
   def minhashPairs(df: DataFrame, textName: String, idName: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4, shingle: Int = 3,
                    threshold: Double = 0.6, maxBucket: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = md5(col(textName).cast("binary"))
+    val h = unhex(md5(col(textName).cast("binary"))) // 16-byte key, not hex string
     val members = df.select(col(idName).as("id"), h.as("__h"))
     val sig = df.select(col(idName).as("id"), h.as("__h"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
       .filter(element_at(col("__sig"), 1) =!= lit(Long.MaxValue))
-    val bands = sig.select(col("id"), col("__h"),
+    // identical texts have identical signatures, so any group member's sig
+    // represents the group; min id is the stable representative
+    val reps = sig.groupBy("__h").agg(min(col("id")).as("rid"), first(col("__sig")).as("__sig"))
+    val bands = reps.select(col("rid"), col("__h"),
       explode(tx.lshBands(col("__sig"), lit(rowsPerBand))).as("band"))
-    // one representative per (band, exact-text group); min id is stable
-    // across bands because identical texts share identical band sets
-    val grouped = bands.groupBy("band", "__h").agg(min(col("id")).as("rid"))
-    val guarded = grouped
+    val guarded = bands
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("__bc") <= maxBucket).drop("__bc")
     val candidates = guarded.as("a").join(guarded.as("b"),
@@ -84,7 +92,7 @@ object Dedup {
       .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
       .filter(col("jaccard") >= threshold)
       .select(col("ha"), col("hb"), col("jaccard"))
-    expandGroups(members, grouped.select("__h"), repPairs, "jaccard", lit(1.0))
+    expandGroups(members, reps.select("__h"), repPairs, "jaccard", lit(1.0))
   }
 
   /** SimHash near-dup pairs: bucket on rotated 16-bit blocks (any pair
@@ -95,20 +103,23 @@ object Dedup {
   def simhashPairs(df: DataFrame, textName: String, idName: String,
                    maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = md5(col(textName).cast("binary"))
+    val h = unhex(md5(col(textName).cast("binary"))) // 16-byte key, not hex string
     val members = df.select(col(idName).as("id"), h.as("__h"))
     val sigs = df.select(col(idName).as("id"), h.as("__h"),
         tx.simhash(col(textName)).as("sig"))
       .filter(col("sig") =!= 0L)
-    // ONE scan emits all 4 rotated blocks per row (no 4-way self-union)
+    // identical texts share the signature: collapse to one representative
+    // per exact-text group BEFORE blocking (same shape as minhashPairs)
+    val reps = sigs.groupBy("__h").agg(min("id").as("rid"), first("sig").as("rsig"))
+    // ONE scan emits all 4 rotated blocks per row (no 4-way self-union);
+    // block key is a LONG — bits 0..15 the slice, bits 16..17 the slice
+    // index (disjoint keyspace per block, no string concat in the shuffle)
     val blockArr = array((0 until 4).map { b =>
-      concat(lit(b.toString), lit(":"),
-        (shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))).cast("string"))
+      shiftright(col("rsig"), b * 16).bitwiseAND(lit(0xffffL))
+        .bitwiseOR(lit(b.toLong << 16))
     }: _*)
-    val blocks = sigs.select(col("id"), col("__h"), col("sig"), explode(blockArr).as("block"))
-    val grouped = blocks.groupBy("block", "__h")
-      .agg(min("id").as("rid"), min("sig").as("rsig"))
-    val guarded = grouped
+    val blocks = reps.select(col("rid"), col("__h"), col("rsig"), explode(blockArr).as("block"))
+    val guarded = blocks
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy("block")))
       .filter(col("__bc") <= maxBucket).drop("__bc")
     val repPairs = guarded.as("a").join(guarded.as("b"),
@@ -119,7 +130,7 @@ object Dedup {
       .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("ha", "hb", "hamming")
-    expandGroups(members, grouped.select("__h"), repPairs, "hamming", lit(0))
+    expandGroups(members, reps.select("__h"), repPairs, "hamming", lit(0))
   }
 
   /**

@@ -1,7 +1,7 @@
 package graft.pages
 
 import graft.functions.st
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -124,6 +124,65 @@ object WebPages {
   def track(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet").selectExpr(
       "event_id % 5 AS tid", s"$T_LON AS t_lon", s"$T_LAT AS t_lat", s"$T_SEC AS t_sec")
+
+  // ---- geoparse: explicit geo metadata in page html ----
+  // ~70% of docs carry a `<meta name="geo.position" content="lat;lon">`
+  // head tag (the public geo-tagging convention); coordinates are
+  // milli-degree integers rendered as exact 3-decimal strings, so the
+  // string→double cast is IEEE-correctly-rounded identically in Spark and
+  // DuckDB (the oracle computes the same values arithmetically).
+  val GP1 = "((doc_id * 48611 + 99) % 2147483648)"
+  val GP2 = "((doc_id * 39607 + 17) % 2147483648)"
+  val GP_LON_MILLI = s"(($GP1 % 360000) - 180000)"
+  val GP_LAT_MILLI = s"(($GP2 % 170000) - 85000)"
+  val GP_TAGGED = s"(($GP1 % 10) < 7)"
+
+  /** Milli-degree int column → exact 3-decimal degree string ("-12.045"). */
+  private def milliToDecStr(m: Column): Column =
+    concat(when(m < 0, lit("-")).otherwise(lit("")),
+      (abs(m) / 1000).cast("long").cast("string"), lit("."),
+      lpad((abs(m) % 1000).cast("string"), 3, "0"))
+
+  /** Web pages whose html head carries a geo.position meta tag for ~70% of
+    * docs (the geoparse fixture; text rides through byte-identical). */
+  def pagesWithGeoTags(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text", "lang",
+        s"$GP_TAGGED AS __tagged", s"$GP_LON_MILLI AS __lonm", s"$GP_LAT_MILLI AS __latm")
+    docs.withColumn("html",
+        concat(lit("<html><head>"),
+          when(col("__tagged"),
+            concat(lit("<meta name=\"geo.position\" content=\""),
+              milliToDecStr(col("__latm")), lit(";"), milliToDecStr(col("__lonm")),
+              lit("\">"))).otherwise(lit("")),
+          lit("</head><body>"), col("text"), lit("</body></html>")).cast("binary"))
+      .drop("__tagged", "__lonm", "__latm")
+  }
+
+  /** geo.position content pattern: "lat;lon" decimal degrees. */
+  private val GeoTagRe = "<meta name=\"geo\\.position\" content=\"([^\";]+);([^\"]+)\">"
+
+  /**
+   * Geoparse: extract the geo.position meta tag from the html column into
+   * typed lon/lat + WKB point geometry. A pure PROJECTION — the text
+   * column passes through untouched (the byte-identical-text-per-url
+   * invariant), rows without a tag yield nulls, and the extraction is a
+   * codegen'd regexp over the binary→string cast (no UDF). The reference's
+   * analog is the ingest converter DSL attaching geometries to records
+   * (geomesa-convert/.../Transformers.scala); here it runs as a Catalyst
+   * projection over 10^12 rows without a shuffle.
+   */
+  def geoparse(pages: DataFrame, htmlName: String = "html"): DataFrame = {
+    val htmlStr = col(htmlName).cast("string")
+    val latS = regexp_extract(htmlStr, GeoTagRe, 1)
+    val lonS = regexp_extract(htmlStr, GeoTagRe, 2)
+    pages
+      .withColumn("geo_lat", when(latS =!= "", latS.cast("double")))
+      .withColumn("geo_lon", when(lonS =!= "", lonS.cast("double")))
+      .withColumn("geo_geom",
+        when(col("geo_lon").isNotNull && col("geo_lat").isNotNull,
+          st.point(col("geo_lon"), col("geo_lat"))))
+  }
 
   /** Deterministic synthetic page-point table of arbitrary size (no I/O —
    *  generated from spark.range by the same LCG geoparse formulas, so the

@@ -29,6 +29,7 @@ object ClusterScaling {
     val label = args.lift(2).getOrElse("run")
     val outPath = args.lift(3).getOrElse("BENCH/cluster_runs.jsonl")
     val only = args.lift(4).map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val repeats = args.lift(5).map(_.toInt).getOrElse(3)
 
     // master + executor topology come from spark-submit; shuffle.partitions
     // is passed as --conf (total cores). Everything else matches Bench.
@@ -39,7 +40,7 @@ object ClusterScaling {
     spark.sparkContext.setLogLevel("WARN")
 
     ScalingJobs.warmup(spark, sfDir)
-    val results = ScalingJobs.runAll(spark, sfDir, pageRows, label, only = only)
+    val results = ScalingJobs.runAll(spark, sfDir, pageRows, label, repeats = repeats, only = only)
     spark.stop()
 
     val lines = results.map { r =>
