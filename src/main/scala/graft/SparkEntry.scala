@@ -422,6 +422,95 @@ object SparkEntry {
       WebPages.geoparse(WebPages.pagesWithGeoTags(s, dir))
         .filter(col("geo_lon").isNotNull)
         .select("doc_id", "geo_lon", "geo_lat").orderBy("doc_id")
+    }),
+    "q_cql_filter" -> ((s, dir) => {
+      // ECQL string front-end (reference: every query carries a GeoTools-
+      // parsed ECQL filter; corpus geomesa-core/src/test/.../TestFilters.scala):
+      // a composite spatial + temporal + attribute filter parsed by
+      // graft.cql.Ecql into the same St* expression trees the typed API
+      // builds. Box edges sit at .0005° so no milli-degree point can land
+      // exactly on a boundary; DURING is the strict interior.
+      graft.cql.Ecql.where(pages(s, dir),
+        "INTERSECTS(geom, POLYGON ((-100.0005 20.0005, -60.0005 20.0005, " +
+          "-60.0005 50.0005, -100.0005 50.0005, -100.0005 20.0005))) AND " +
+          "warc_ts DURING 2011-06-05T00:00:00Z/2011-06-12T00:00:00Z AND " +
+          "lang IN ('en', 'de') AND text LIKE '%the%' AND doc_id IS NOT NULL")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    "q_avro_roundtrip" -> ((s, dir) => {
+      // Avro container write (one file per partition, on the executors) →
+      // distributed container read → agg; lang is nullable so the write and
+      // read both exercise the ["null", T] union path (reference S7
+      // AvroFeatureDecoder + the convert-avro ingest)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_avro_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      rmrf(new java.io.File(out))
+      graft.sources.IngestExport.writeAvro(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang", "n_chars"), out)
+      graft.sources.IngestExport.avro(s, out)
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
+    "q_fixedwidth_roundtrip" -> ((s, dir) => {
+      // fixed-width export (format_string, distributed) → fixed-width
+      // ingest (reference S8: column start/width/type spec) → filter + agg
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_fw_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      rmrf(new java.io.File(out))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(format_string("%10d%-4s%12d", col("doc_id"), col("lang"), col("n_chars")).as("value"))
+        .write.mode("overwrite").text(out)
+      graft.sources.IngestExport.fixedWidth(s, out, Seq(
+          ("doc_id", 1, 10, "bigint"), ("lang", 11, 4, "string"), ("n_chars", 15, 12, "bigint")))
+        .filter(col("n_chars") > 200)
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+    "q_layout_stats" -> ((s, dir) => {
+      // manifest-only count + bounds estimates (reference A6/A7: record-
+      // table entry count, catalog-metadata bounds — no scan); the oracle
+      // recomputes the same bucket-cell-snapped bounds arithmetically
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_lstats_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      rmrf(new java.io.File(out))
+      val keyed = graft.layout.CellLayout.withCellKeys(
+        pages(s, dir).select("doc_id", "lon", "lat"),
+        col("lon"), col("lat"), col("doc_id"), bucketRes = 3)
+      graft.layout.CellLayout.write(keyed, out, s"$dir/documents.parquet")
+      val n = graft.layout.CellLayout.countEstimate(out)
+      val (x0, y0, x1, y1) = graft.layout.CellLayout.boundsEstimate(out).get
+      import s.implicits._
+      Seq((n, x0, y0, x1, y1)).toDF("n_rows", "xmin", "ymin", "xmax", "ymax")
+    }),
+    "q_liveview_upsert" -> ((s, dir) => {
+      // upsert-by-id live view (reference T1/T2, KafkaConsumerFeatureSource:
+      // one live version per feature id, deletes drop it) driven through a
+      // REAL StreamingQuery (MemoryStream → mapGroupsWithState → memory
+      // sink); the oracle is the batch latest-per-id window. The collect is
+      // the stream feed fixture, not the operator.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.LiveView
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("string").as("id"),
+          ((col("event_id") * 7) % 360 - 180).cast("double").as("lon"),
+          ((col("event_id") * 11) % 170 - 85).cast("double").as("lat"),
+          // ts is TIMESTAMP_NTZ in the parquet; NTZ→LTZ under the UTC
+          // session matches DuckDB's epoch_ms of the naive timestamp
+          unix_millis(col("ts").cast("timestamp")).as("tsMillis"),
+          when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+        .as[LiveView.FeatureEvent].collect()
+      val input = MemoryStream[LiveView.FeatureEvent]
+      input.addData(evs.toSeq)
+      val sink = s"q_liveview_sink_${Integer.toHexString(dir.hashCode)}"
+      val q = LiveView.liveState(input.toDS()).writeStream
+        .format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(sink).filter(col("alive"))
+        .select(col("id"), col("lon"), col("lat"), col("tsMillis").as("ts_millis"))
+        .orderBy("id")
     })
   )
 
@@ -795,6 +884,51 @@ object SparkEntry {
          |  FROM m)
          |SELECT doc_id, CAST(lon_s AS DOUBLE) AS geo_lon,
          |  CAST(lat_s AS DOUBLE) AS geo_lat
-         |FROM s ORDER BY doc_id""".stripMargin
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_cql_filter" ->
+      // the ECQL polygon is a box (boundary-inclusive INTERSECTS, but edges
+      // at .0005° can never equal a milli-degree coordinate); warc_ts is
+      // 2011-06-01 + (doc_id % 2592000) seconds, so the strict DURING
+      // interior is an integer-seconds interval on that offset
+      s"""WITH $CTE_PAGES
+         |SELECT doc_id, lang FROM pages
+         |WHERE lon > -100.0005 AND lon < -60.0005
+         |  AND lat > 20.0005 AND lat < 50.0005
+         |  AND (doc_id % 2592000) > 345600 AND (doc_id % 2592000) < 950400
+         |  AND lang IN ('en', 'de') AND text LIKE '%the%' AND doc_id IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
+    "q_avro_roundtrip" ->
+      s"""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fixedwidth_roundtrip" ->
+      s"""SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+         |FROM documents WHERE n_chars > 200 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_layout_stats" ->
+      // bucket grid at res 3: 8×8 cells of 45°×22.5°; the engine's
+      // Z2.lonToX/latToY truncate the non-negative scaled coordinate and
+      // clamp to the grid, and bounds are x/n*360-180 (same IEEE ops here)
+      s"""WITH $CTE_PAGES,
+         |cells AS (SELECT
+         |  LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 8) AS BIGINT), 0), 7) AS cx,
+         |  LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 8) AS BIGINT), 0), 7) AS cy
+         |  FROM pages)
+         |SELECT COUNT(*) AS n_rows,
+         |  MIN(CAST(cx AS DOUBLE) / 8e0 * 360e0 - 180e0) AS xmin,
+         |  MIN(CAST(cy AS DOUBLE) / 8e0 * 180e0 - 90e0) AS ymin,
+         |  MAX(CAST(cx + 1 AS DOUBLE) / 8e0 * 360e0 - 180e0) AS xmax,
+         |  MAX(CAST(cy + 1 AS DOUBLE) / 8e0 * 180e0 - 90e0) AS ymax
+         |FROM cells""".stripMargin,
+    "q_liveview_upsert" ->
+      // latest event per user id wins; a trailing delete removes the id
+      s"""WITH latest AS (
+         |  SELECT user_id, event_id, event_type, ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+         |  FROM events)
+         |SELECT CAST(user_id AS VARCHAR) AS id,
+         |  CAST((event_id * 7) % 360 - 180 AS DOUBLE) AS lon,
+         |  CAST((event_id * 11) % 170 - 85 AS DOUBLE) AS lat,
+         |  epoch_ms(ts) AS ts_millis
+         |FROM latest WHERE rn = 1 AND event_type <> 'error'
+         |ORDER BY id""".stripMargin
   )
 }

@@ -1,0 +1,344 @@
+package graft.cql
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+import graft.functions.st
+import graft.geom.GeomCodec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * (E)CQL filter front-end: parses the textual filter language the reference
+ * accepts everywhere a query is issued (reference: the ECQL strings in
+ * `geomesa-core/src/test/scala/.../filter/TestFilters.scala` and the
+ * predicate whitelist `geomesa-core/src/main/scala/.../filter/package.scala:248-259`)
+ * into a Catalyst [[Column]] over this engine's codegen'd spatial/temporal
+ * expressions. The reference delegates parsing to GeoTools' `ECQL.toFilter`;
+ * this is a from-scratch recursive-descent parser for the same grammar
+ * subset — everything the reference's own test corpus uses:
+ *
+ *   - logical:   `AND`, `OR`, `NOT`, parentheses, `INCLUDE`, `EXCLUDE`
+ *   - spatial:   `INTERSECTS/CONTAINS/WITHIN/OVERLAPS/CROSSES/TOUCHES/
+ *                 DISJOINT/EQUALS(prop, <WKT>)`, `BBOX(prop, x1,y1,x2,y2 [,crs])`,
+ *                 `DWITHIN/BEYOND(prop, <WKT>, dist, units)`
+ *   - temporal:  `prop DURING t1/t2` (strict interior, OGC During),
+ *                 `BEFORE`, `AFTER`, `TEQUALS` with ISO-8601 instants
+ *   - attribute: `= <> != < <= > >=`, `[NOT] LIKE / ILIKE`, `[NOT] IN (...)`,
+ *                 `[NOT] BETWEEN a AND b` (inclusive), `IS [NOT] NULL`
+ *
+ * Literals: numbers, `'single-quoted'` strings (`''` escape), bare ISO
+ * instants (`2010-07-01T00:00:00.000Z`), WKT geometries. A bare identifier
+ * on the right-hand side references another column (the reference corpus'
+ * `attr56 = val56` shape). Quoted strings that look like ISO instants become
+ * timestamp literals so `dtg BETWEEN '...' AND '...'` compares in time, not
+ * lexicographically. Geometry literals fold to WKB constants at parse time,
+ * so the planner's spatial-join/pushdown rules see the same `St*` expression
+ * trees the typed API builds — ECQL queries plan identically to Column ones.
+ *
+ * Deviations from GeoTools ECQL (documented, not accidental): no arithmetic
+ * expressions inside comparisons, no `RELATE`/`ID`/period-duration (`T1/P1D`)
+ * forms — none appear in the reference's corpus.
+ */
+object Ecql {
+
+  /** Parse an ECQL filter into a boolean Column. Throws
+    * [[EcqlParseException]] with position on malformed input. */
+  def toColumn(filter: String): Column = {
+    val p = new Parser(filter)
+    val c = p.parseOr()
+    p.expectEof()
+    c
+  }
+
+  /** `df.filter(Ecql.toColumn(f))` convenience. */
+  def where(df: DataFrame, filter: String): DataFrame = df.filter(toColumn(filter))
+
+  final class EcqlParseException(msg: String, val pos: Int)
+    extends IllegalArgumentException(s"$msg (at position $pos)")
+
+  // ---- lexer ----
+  private object Tok extends Enumeration {
+    val Ident, Num, Str, DateTime, LParen, RParen, Comma, Slash, Op, Eof = Value
+  }
+  private final case class Token(kind: Tok.Value, text: String, pos: Int)
+
+  private val DateTimeRe =
+    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?""".r
+  private val NumRe = """\d+(?:\.\d+)?(?:[eE][+-]?\d+)?""".r
+  private val IdentRe = """[A-Za-z_][A-Za-z0-9_:.]*""".r
+
+  private val SpatialBinary = Set("INTERSECTS", "CONTAINS", "WITHIN", "OVERLAPS",
+    "CROSSES", "TOUCHES", "DISJOINT", "EQUALS")
+  private val WktTypes = Set("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+    "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")
+  /** ECQL distance units → meters (reference accepts the same five). */
+  private val Units = Map("METERS" -> 1.0, "KILOMETERS" -> 1000.0,
+    "FEET" -> 0.3048, "STATUTE MILES" -> 1609.344, "NAUTICAL MILES" -> 1852.0,
+    "MILES" -> 1609.344)
+
+  private final class Parser(input: String) {
+    private var pos = 0
+    private var tok: Token = _
+    advance()
+
+    private def fail(msg: String, at: Int = -1): Nothing =
+      throw new EcqlParseException(msg, if (at >= 0) at else tok.pos)
+
+    private def skipWs(): Unit =
+      while (pos < input.length && input.charAt(pos).isWhitespace) pos += 1
+
+    private def advance(): Unit = {
+      skipWs()
+      if (pos >= input.length) { tok = Token(Tok.Eof, "", pos); return }
+      val start = pos
+      val c = input.charAt(pos)
+      tok = c match {
+        case '(' => pos += 1; Token(Tok.LParen, "(", start)
+        case ')' => pos += 1; Token(Tok.RParen, ")", start)
+        case ',' => pos += 1; Token(Tok.Comma, ",", start)
+        case '/' => pos += 1; Token(Tok.Slash, "/", start)
+        case '=' => pos += 1; Token(Tok.Op, "=", start)
+        case '<' =>
+          pos += 1
+          if (pos < input.length && (input.charAt(pos) == '=' || input.charAt(pos) == '>')) {
+            pos += 1; Token(Tok.Op, input.substring(start, pos), start)
+          } else Token(Tok.Op, "<", start)
+        case '>' =>
+          pos += 1
+          if (pos < input.length && input.charAt(pos) == '=') { pos += 1; Token(Tok.Op, ">=", start) }
+          else Token(Tok.Op, ">", start)
+        case '!' =>
+          if (pos + 1 < input.length && input.charAt(pos + 1) == '=') { pos += 2; Token(Tok.Op, "!=", start) }
+          else fail("unexpected '!'", start)
+        case '\'' =>
+          val sb = new StringBuilder
+          pos += 1
+          var closed = false
+          while (!closed && pos < input.length) {
+            val ch = input.charAt(pos)
+            if (ch == '\'') {
+              if (pos + 1 < input.length && input.charAt(pos + 1) == '\'') { sb += '\''; pos += 2 }
+              else { closed = true; pos += 1 }
+            } else { sb += ch; pos += 1 }
+          }
+          if (!closed) fail("unterminated string literal", start)
+          Token(Tok.Str, sb.toString, start)
+        case d if d.isDigit =>
+          DateTimeRe.findPrefixOf(input.substring(pos)) match {
+            case Some(dt) => pos += dt.length; Token(Tok.DateTime, dt, start)
+            case None =>
+              val n = NumRe.findPrefixOf(input.substring(pos))
+                .getOrElse(fail("bad number", start))
+              pos += n.length; Token(Tok.Num, n, start)
+          }
+        case '-' | '+' => pos += 1; Token(Tok.Op, c.toString, start)
+        case a if a.isLetter || a == '_' =>
+          val id = IdentRe.findPrefixOf(input.substring(pos)).get
+          pos += id.length; Token(Tok.Ident, id, start)
+        case other => fail(s"unexpected character '$other'", start)
+      }
+    }
+
+    private def isKw(k: String): Boolean =
+      tok.kind == Tok.Ident && tok.text.equalsIgnoreCase(k)
+    private def acceptKw(k: String): Boolean = { if (isKw(k)) { advance(); true } else false }
+    private def expectKw(k: String): Unit = if (!acceptKw(k)) fail(s"expected $k")
+    private def expect(kind: Tok.Value, what: String): String = {
+      if (tok.kind != kind) fail(s"expected $what")
+      val t = tok.text; advance(); t
+    }
+    def expectEof(): Unit = if (tok.kind != Tok.Eof) fail("trailing input after filter")
+
+    // ---- grammar ----
+    def parseOr(): Column = {
+      var l = parseAnd()
+      while (acceptKw("OR")) l = l || parseAnd()
+      l
+    }
+    private def parseAnd(): Column = {
+      var l = parseNot()
+      while (acceptKw("AND")) l = l && parseNot()
+      l
+    }
+    private def parseNot(): Column =
+      if (acceptKw("NOT")) !parseNot() else parsePrimary()
+
+    private def parsePrimary(): Column = {
+      if (tok.kind == Tok.LParen) { advance(); val c = parseOr(); expect(Tok.RParen, ")"); c }
+      else if (acceptKw("INCLUDE")) lit(true)
+      else if (acceptKw("EXCLUDE")) lit(false)
+      else if (tok.kind == Tok.Ident && SpatialBinary.contains(tok.text.toUpperCase)) spatialBinary()
+      else if (isKw("BBOX")) bbox()
+      else if (isKw("DWITHIN") || isKw("BEYOND")) dwithin()
+      else comparison()
+    }
+
+    private def spatialBinary(): Column = {
+      val op = tok.text.toUpperCase; advance()
+      expect(Tok.LParen, "(")
+      val prop = col(expect(Tok.Ident, "property name"))
+      expect(Tok.Comma, ",")
+      val g = geometryLiteral()
+      expect(Tok.RParen, ")")
+      op match {
+        case "INTERSECTS" => st.intersects(prop, g)
+        case "CONTAINS"   => st.contains(prop, g)
+        case "WITHIN"     => st.within(prop, g)
+        case "OVERLAPS"   => st.overlaps(prop, g)
+        case "CROSSES"    => st.crosses(prop, g)
+        case "TOUCHES"    => st.touches(prop, g)
+        case "DISJOINT"   => st.disjoint(prop, g)
+        case "EQUALS"     => st.equalsGeom(prop, g)
+      }
+    }
+
+    private def bbox(): Column = {
+      advance() // BBOX
+      expect(Tok.LParen, "(")
+      val prop = col(expect(Tok.Ident, "property name"))
+      val nums = (1 to 4).map { _ => expect(Tok.Comma, ","); signedNumber() }
+      // optional trailing CRS string (only EPSG:4326 / CRS:84 semantics here)
+      if (tok.kind == Tok.Comma) { advance(); expect(Tok.Str, "crs string"); () }
+      expect(Tok.RParen, ")")
+      st.intersects(prop, st.makeBox(lit(nums(0)), lit(nums(1)), lit(nums(2)), lit(nums(3))))
+    }
+
+    private def dwithin(): Column = {
+      val beyond = tok.text.equalsIgnoreCase("BEYOND"); advance()
+      expect(Tok.LParen, "(")
+      val prop = col(expect(Tok.Ident, "property name"))
+      expect(Tok.Comma, ",")
+      val g = geometryLiteral()
+      expect(Tok.Comma, ",")
+      val d = signedNumber()
+      expect(Tok.Comma, ",")
+      val unit0 = expect(Tok.Ident, "distance unit").toUpperCase
+      // two-word units ("statute miles", "nautical miles")
+      val unit = if (tok.kind == Tok.Ident && Units.contains(s"$unit0 ${tok.text.toUpperCase}")) {
+        val u = s"$unit0 ${tok.text.toUpperCase}"; advance(); u
+      } else unit0
+      expect(Tok.RParen, ")")
+      val meters = d * Units.getOrElse(unit, fail(s"unknown distance unit $unit"))
+      val w = st.dwithin(prop, g, lit(meters))
+      if (beyond) !w else w
+    }
+
+    /** WKT geometry literal: type keyword + balanced parens, parsed by the
+      * engine's codec and folded to a WKB constant. */
+    private def geometryLiteral(): Column = {
+      if (tok.kind != Tok.Ident || !WktTypes.contains(tok.text.toUpperCase))
+        fail("expected WKT geometry literal")
+      val start = tok.pos
+      // scan the raw input from the type keyword across one balanced group
+      var i = start + tok.text.length
+      while (i < input.length && input.charAt(i).isWhitespace) i += 1
+      // EMPTY geometries: `POINT EMPTY`
+      if (input.regionMatches(true, i, "EMPTY", 0, 5)) {
+        val wkt = input.substring(start, i + 5)
+        pos = i + 5; advance()
+        return lit(wkb(wkt, start))
+      }
+      if (i >= input.length || input.charAt(i) != '(') fail("expected '(' in WKT", i)
+      var depth = 0
+      var end = i
+      var done = false
+      while (!done && end < input.length) {
+        input.charAt(end) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) done = true
+          case _ =>
+        }
+        end += 1
+      }
+      if (!done) fail("unbalanced parentheses in WKT", start)
+      val wkt = input.substring(start, end)
+      pos = end; advance()
+      lit(wkb(wkt, start))
+    }
+
+    private def wkb(wkt: String, at: Int): Array[Byte] =
+      try GeomCodec.toWkb(GeomCodec.fromWkt(wkt))
+      catch { case e: Exception => fail(s"invalid WKT: ${e.getMessage}", at) }
+
+    private def signedNumber(): Double = {
+      val neg = tok.kind == Tok.Op && (tok.text == "-" || tok.text == "+")
+      val sign = if (neg && tok.text == "-") -1.0 else 1.0
+      if (neg) advance()
+      sign * expect(Tok.Num, "number").toDouble
+    }
+
+    private def tsLit(text: String, at: Int): Column = lit(parseInstant(text, at))
+
+    private def parseInstant(text: String, at: Int): Timestamp =
+      try {
+        if (text.endsWith("Z") || text.contains("+") || text.lastIndexOf('-') > 9)
+          Timestamp.from(Instant.parse(text.replaceFirst("([+-]\\d{2})(\\d{2})$", "$1:$2")))
+        else Timestamp.from(LocalDateTime.parse(text).toInstant(ZoneOffset.UTC))
+      } catch { case _: Exception => fail(s"bad ISO-8601 instant '$text'", at) }
+
+    /** Scalar literal or column reference in a comparison RHS / IN list. */
+    private def value(): Column = tok.kind match {
+      case Tok.Num => val v = tok.text; advance()
+        if (v.contains('.') || v.contains('e') || v.contains('E')) lit(v.toDouble) else lit(v.toLong)
+      case Tok.Op if tok.text == "-" || tok.text == "+" => lit(signedNumber())
+      case Tok.Str =>
+        val (t, p) = (tok.text, tok.pos); advance()
+        if (DateTimeRe.pattern.matcher(t).matches()) tsLit(t, p) else lit(t)
+      case Tok.DateTime => val (t, p) = (tok.text, tok.pos); advance(); tsLit(t, p)
+      case Tok.Ident => val c = col(tok.text); advance(); c
+      case _ => fail("expected literal or property name")
+    }
+
+    private def comparison(): Column = {
+      val prop = col(expect(Tok.Ident, "property name"))
+      if (acceptKw("IS")) {
+        val negated = acceptKw("NOT"); expectKw("NULL")
+        return if (negated) prop.isNotNull else prop.isNull
+      }
+      if (acceptKw("DURING")) {
+        val t1 = tsLit(expect(Tok.DateTime, "ISO instant"), tok.pos)
+        expect(Tok.Slash, "/")
+        val t2 = tsLit(expect(Tok.DateTime, "ISO instant"), tok.pos)
+        return prop > t1 && prop < t2 // OGC During: strict interior
+      }
+      if (acceptKw("BEFORE")) return prop < value()
+      if (acceptKw("AFTER")) return prop > value()
+      if (acceptKw("TEQUALS")) return prop === value()
+      val negated = acceptKw("NOT")
+      if (acceptKw("LIKE")) {
+        val c = prop.like(expect(Tok.Str, "pattern"))
+        return if (negated) !c else c
+      }
+      if (acceptKw("ILIKE")) {
+        val c = prop.ilike(expect(Tok.Str, "pattern"))
+        return if (negated) !c else c
+      }
+      if (acceptKw("IN")) {
+        expect(Tok.LParen, "(")
+        val vs = scala.collection.mutable.ArrayBuffer(value())
+        while (tok.kind == Tok.Comma) { advance(); vs += value() }
+        expect(Tok.RParen, ")")
+        val c = prop.isin(vs.toSeq: _*)
+        return if (negated) !c else c
+      }
+      if (acceptKw("BETWEEN")) {
+        val lo = value(); expectKw("AND"); val hi = value()
+        val c = prop >= lo && prop <= hi
+        return if (negated) !c else c
+      }
+      if (negated) fail("expected LIKE/ILIKE/IN/BETWEEN after NOT")
+      val op = expect(Tok.Op, "comparison operator")
+      val rhs = value()
+      op match {
+        case "="          => prop === rhs
+        case "<>" | "!="  => prop =!= rhs
+        case "<"          => prop < rhs
+        case "<="         => prop <= rhs
+        case ">"          => prop > rhs
+        case ">="         => prop >= rhs
+        case other        => fail(s"unknown operator $other")
+      }
+    }
+  }
+}

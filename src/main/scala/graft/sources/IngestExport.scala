@@ -102,6 +102,65 @@ object IngestExport {
   def withWktGeometry(df: DataFrame, wktCol: String): DataFrame =
     df.withColumn("geom", st.geomFromWKT(col(wktCol)))
 
+  /** Avro container export — the write half of [[avro]] (reference's
+    * interchange format: geomesa-core AvroFeatureEncoder / geomesa-tools
+    * export). One container file per partition, written in parallel on the
+    * executors; schema derived from the DataFrame schema (long / int /
+    * double / float / string / boolean / binary; nullable → ["null", T]
+    * union). Writes to a local/shared filesystem path — the distributed
+    * production sink remains parquet ([[graft.layout.CellLayout]]); this
+    * exists for interchange with Avro consumers and round-trip testing. */
+  def writeAvro(df: DataFrame, path: String, recordName: String = "feature"): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.spark.sql.types._
+
+    def avroType(dt: DataType): String = dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case BinaryType => "bytes"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"writeAvro: unsupported column type $other (project to scalar columns first)")
+    }
+    val fieldJson = df.schema.fields.map { f =>
+      val t = "\"" + avroType(f.dataType) + "\""
+      val typ = if (f.nullable) s"""["null", $t]""" else t
+      s"""{"name": "${f.name}", "type": $typ}"""
+    }.mkString(", ")
+    val schemaJson =
+      s"""{"type": "record", "name": "$recordName", "fields": [$fieldJson]}"""
+    val names = df.schema.fieldNames
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        import org.apache.avro.file.DataFileWriter
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+        val schema = new Schema.Parser().parse(schemaJson)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, new java.io.File(s"$path/part-$pid.avro"))
+        try it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < names.length) {
+            val v = row.get(i) match {
+              case null => null
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+              case x => x.asInstanceOf[AnyRef]
+            }
+            rec.put(names(i), v)
+            i += 1
+          }
+          w.append(rec)
+        } finally w.close()
+      }
+    }
+  }
+
   /** GeoJSON-feature export (reference S10, FeatureExporter.scala:46-129):
     * one JSON feature object per row, geometry rendered for ANY geometry
     * type (Point, LineString, Polygon, Multi variants, collections) via

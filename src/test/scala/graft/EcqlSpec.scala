@@ -1,0 +1,112 @@
+package graft
+
+import graft.cql.Ecql
+import graft.functions.st
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * ECQL front-end: the string filter language the reference accepts
+ * (parsed there by GeoTools `ECQL.toFilter`; corpus:
+ * geomesa-core/src/test/.../filter/TestFilters.scala) must produce the same
+ * rows as the equivalent typed-Column query, and spatial predicates must
+ * plan through the same St* expressions (so the join/pushdown rules fire).
+ */
+class EcqlSpec extends SparkSpec {
+
+  private lazy val df: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 41.5, 28.5, "2010-07-10T00:00:00Z", "val17", 3.0),
+      (2L, 45.5, 24.0, "2010-08-08T12:00:00Z", "val56", 7.5),
+      (3L, 47.0, 26.0, "2010-07-01T00:00:00Z", null.asInstanceOf[String], 9.0),
+      (4L, 10.0, 10.0, "2011-01-01T00:00:00Z", "value", -2.0),
+      (5L, 41.0, 28.0, "2010-07-31T00:00:00Z", "valley", 0.5)
+    ).toDF("id", "x", "y", "dtg_s", "attr", "score")
+      .withColumn("geom", st.point(col("x"), col("y")))
+      .withColumn("dtg", to_timestamp(col("dtg_s")))
+  }
+
+  private def ids(filter: String): Seq[Long] =
+    Ecql.where(df, filter).select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("attribute comparisons, IN, BETWEEN, LIKE, IS NULL, NOT") {
+    assert(ids("attr = 'val17'") === Seq(1L))
+    assert(ids("attr <> 'val17'") === Seq(2L, 4L, 5L)) // null drops out, SQL semantics
+    assert(ids("score > 3") === Seq(2L, 3L))
+    assert(ids("score >= 3") === Seq(1L, 2L, 3L))
+    assert(ids("score = -2.0") === Seq(4L))
+    assert(ids("id IN (1, 3, 99)") === Seq(1L, 3L))
+    assert(ids("attr IN ('val17', 'value')") === Seq(1L, 4L))
+    assert(ids("score BETWEEN 0.5 AND 7.5") === Seq(1L, 2L, 5L))
+    assert(ids("score NOT BETWEEN 0.5 AND 7.5") === Seq(3L, 4L))
+    assert(ids("attr LIKE 'val%'") === Seq(1L, 2L, 4L, 5L))
+    assert(ids("attr LIKE 'val__'") === Seq(1L, 2L, 4L)) // exactly two wildcard chars
+    assert(ids("attr ILIKE 'VAL17'") === Seq(1L))
+    assert(ids("attr IS NULL") === Seq(3L))
+    assert(ids("attr IS NOT NULL") === Seq(1L, 2L, 4L, 5L))
+    assert(ids("NOT (id = 1)") === Seq(2L, 3L, 4L, 5L))
+    assert(ids("INCLUDE") === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids("EXCLUDE") === Seq())
+    // bare identifier RHS references a column (reference corpus shape)
+    assert(ids("x = y") === Seq(4L))
+  }
+
+  test("temporal: DURING is the strict interior, BEFORE/AFTER/TEQUALS, string BETWEEN is temporal") {
+    // DURING excludes both endpoints (OGC During)
+    assert(ids("dtg DURING 2010-07-01T00:00:00Z/2010-07-31T00:00:00Z") === Seq(1L))
+    assert(ids("dtg BEFORE 2010-07-02T00:00:00Z") === Seq(3L))
+    assert(ids("dtg AFTER 2010-12-31T00:00:00Z") === Seq(4L))
+    assert(ids("dtg TEQUALS 2010-08-08T12:00:00.000Z") === Seq(2L))
+    // quoted ISO strings become timestamp literals: inclusive BETWEEN
+    assert(ids("dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z'")
+      === Seq(1L, 3L, 5L))
+  }
+
+  test("spatial: INTERSECTS/WITHIN/BBOX/DWITHIN match the typed-Column query") {
+    val poly = "POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28))"
+    val typed = df.filter(st.intersects(col("geom"), st.geomFromWKT(lit(poly))))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids(s"INTERSECTS(geom, $poly)") === typed)
+    // id=1 (41.5,28.5) is strictly inside; id=5 (41,28) sits ON the corner,
+    // and JTS `within` excludes the boundary
+    assert(ids(s"WITHIN(geom, $poly)") === Seq(1L))
+    assert(ids("BBOX(geom, 44, 23, 48, 27)") === Seq(2L, 3L))
+    // ~78.6 km between (41.5,28.5) and (41,28): inside 100km, outside 50km
+    assert(ids("DWITHIN(geom, POINT (41 28), 100, kilometers)") === Seq(1L, 5L))
+    assert(ids("DWITHIN(geom, POINT (41 28), 50000, meters)") === Seq(5L))
+    assert(ids("BEYOND(geom, POINT (41 28), 100, kilometers)") === Seq(2L, 3L, 4L))
+    assert(ids("DISJOINT(geom, POLYGON ((40 27, 43 27, 43 30, 40 30, 40 27)))") === Seq(2L, 3L, 4L))
+  }
+
+  test("logical nesting from the reference corpus parses and evaluates") {
+    val f = "((INTERSECTS(geom, POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28))) OR " +
+      "INTERSECTS(geom, POLYGON ((44 23, 46 23, 46 25, 44 25, 44 23)))) AND " +
+      "(dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z' OR attr = 'val56'))"
+    assert(ids(f) === Seq(1L, 2L, 5L))
+    assert(ids("attr = 'val17' AND score >= 3 OR id = 4") === Seq(1L, 4L)) // AND binds tighter
+  }
+
+  test("spatial ECQL plans through the same St* expressions as the typed API") {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val fromEcql = Ecql.toColumn("INTERSECTS(geom, POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28)))")
+    assert(ColumnShim.expression(fromEcql).getClass.getSimpleName === "StIntersects")
+    val dw = Ecql.toColumn("DWITHIN(geom, POINT (0 0), 1, kilometers)")
+    assert(ColumnShim.expression(dw).getClass.getSimpleName === "StDWithin")
+  }
+
+  test("parse errors carry position; unknown unit and trailing input rejected") {
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("attr = "))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("INTERSECTS(geom, POLYGON ((1 1, 2 2)) extra"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("DWITHIN(geom, POINT (0 0), 1, furlongs)"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("attr = 'unterminated"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("dtg DURING 2010-07-01T00:00:00Z"))
+  }
+
+  test("string escaping: doubled quote inside literal") {
+    import spark.implicits._
+    val d = Seq((1L, "it's"), (2L, "its")).toDF("id", "s")
+    val got = Ecql.where(d, "s = 'it''s'").select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
+}
