@@ -25,11 +25,23 @@ object Bench {
     try SparkEntry.queries("q_bbox_filter")(spark, sfDir).count()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts to a subset (diagnosis runs);
+    // queries run in sorted name order so per-query timings are comparable
+    // across rounds (Map hash order reshuffles whenever a key is added)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // best of 2 runs per query: single-pass timings are dominated by where
+    // a query lands in the session (JIT/codegen warmup), not by the
+    // operator — measured: the first query in sorted order pays up to 7x
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> math.min(once(), once())
+      }.toMap
 
     // flagship spatial-join throughput (north rule metric): input rows/sec
     val pageRows = spark.read.parquet(s"$sfDir/documents.parquet").count()
@@ -41,7 +53,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","join_input_rows":$pageRows,"join_sec":$joinSec,"join_rows_per_sec":$throughput}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_2_runs_per_query","queries":$qs,"sf":"$sfDir","join_input_rows":$pageRows,"join_sec":$joinSec,"join_rows_per_sec":$throughput}""")
     spark.stop()
   }
 }
