@@ -47,10 +47,10 @@ object GeomRT {
   }
 
   // ---- predicates (arg0 prepared) ----
-  def contains(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).contains(GeomCodec.fromWkb(b))
-  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).intersects(GeomCodec.fromWkb(b))
-  def within(a: Array[Byte], b: Array[Byte]): Boolean = prepared(b).contains(GeomCodec.fromWkb(a))
-  def covers(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).covers(GeomCodec.fromWkb(b))
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).contains(GeomCodec.fromWkbFast(b))
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).intersects(GeomCodec.fromWkbFast(b))
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = prepared(b).contains(GeomCodec.fromWkbFast(a))
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).covers(GeomCodec.fromWkbFast(b))
   def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).overlaps(GeomCodec.fromWkb(b))
   def crosses(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).crosses(GeomCodec.fromWkb(b))
   def touches(a: Array[Byte], b: Array[Byte]): Boolean = prepared(a).touches(GeomCodec.fromWkb(b))
@@ -60,7 +60,7 @@ object GeomRT {
 
   /** Planar (degree-space) distance test without sqrt where possible. */
   def dwithinDeg(a: Array[Byte], b: Array[Byte], deg: Double): Boolean = {
-    val ga = GeomCodec.fromWkb(a); val gb = GeomCodec.fromWkb(b)
+    val ga = GeomCodec.fromWkbFast(a); val gb = GeomCodec.fromWkbFast(b)
     if (ga.getGeometryType == "Point" && gb.getGeometryType == "Point") {
       val ca = ga.getCoordinate; val cb = gb.getCoordinate
       val dx = ca.x - cb.x; val dy = ca.y - cb.y
@@ -71,20 +71,20 @@ object GeomRT {
   /** Reference DWithin semantics: meters converted to a local degree buffer
    *  (FilterHelper.scala:111-123), then planar within-distance. */
   def dwithinMeters(a: Array[Byte], b: Array[Byte], meters: Double): Boolean = {
-    val ga = GeomCodec.fromWkb(a); val gb = GeomCodec.fromWkb(b)
+    val ga = GeomCodec.fromWkbFast(a); val gb = GeomCodec.fromWkbFast(b)
     val lat = ga.getCoordinate.y
     ga.isWithinDistance(gb, Geodesy.metersToDegrees(meters, lat))
   }
 
   // ---- measures ----
   def distance(a: Array[Byte], b: Array[Byte]): Double =
-    GeomCodec.fromWkb(a).distance(GeomCodec.fromWkb(b))
+    GeomCodec.fromWkbFast(a).distance(GeomCodec.fromWkbFast(b))
   def distanceSphere(a: Array[Byte], b: Array[Byte]): Double = {
-    val ca = GeomCodec.fromWkb(a).getCoordinate; val cb = GeomCodec.fromWkb(b).getCoordinate
+    val ca = GeomCodec.fromWkbFast(a).getCoordinate; val cb = GeomCodec.fromWkbFast(b).getCoordinate
     Geodesy.haversineMeters(ca.x, ca.y, cb.x, cb.y)
   }
   def distanceSpheroid(a: Array[Byte], b: Array[Byte]): Double = {
-    val ca = GeomCodec.fromWkb(a).getCoordinate; val cb = GeomCodec.fromWkb(b).getCoordinate
+    val ca = GeomCodec.fromWkbFast(a).getCoordinate; val cb = GeomCodec.fromWkbFast(b).getCoordinate
     Geodesy.vincentyMeters(ca.x, ca.y, cb.x, cb.y)
   }
   def area(a: Array[Byte]): Double = GeomCodec.fromWkb(a).getArea
@@ -105,8 +105,8 @@ object GeomRT {
     GeomCodec.toWkb(org.locationtech.jts.simplify.TopologyPreservingSimplifier.simplify(GeomCodec.fromWkb(b), tol))
 
   // ---- accessors ----
-  def x(b: Array[Byte]): Double = GeomCodec.fromWkb(b).getCoordinate.x
-  def y(b: Array[Byte]): Double = GeomCodec.fromWkb(b).getCoordinate.y
+  def x(b: Array[Byte]): Double = GeomCodec.fromWkbFast(b).getCoordinate.x
+  def y(b: Array[Byte]): Double = GeomCodec.fromWkbFast(b).getCoordinate.y
   def xmin(b: Array[Byte]): Double = GeomCodec.fromWkb(b).getEnvelopeInternal.getMinX
   def ymin(b: Array[Byte]): Double = GeomCodec.fromWkb(b).getEnvelopeInternal.getMinY
   def xmax(b: Array[Byte]): Double = GeomCodec.fromWkb(b).getEnvelopeInternal.getMaxX
@@ -117,7 +117,7 @@ object GeomRT {
 
   // ---- cell index ----
   def cellOf(b: Array[Byte], res: Int): Long = {
-    val g = GeomCodec.fromWkb(b)
+    val g = GeomCodec.fromWkbFast(b)
     val c = if (g.getGeometryType == "Point") g.getCoordinate else g.getCentroid.getCoordinate
     Z2.encode(c.x, c.y, res)
   }

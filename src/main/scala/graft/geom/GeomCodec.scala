@@ -20,6 +20,23 @@ object GeomCodec {
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
 
   def fromWkb(b: Array[Byte]): Geometry = wkbReader.get.read(b)
+
+  /**
+   * Decode with a 2D-point fast path: a plain (no SRID/Z) WKB point is
+   * exactly 21 bytes — byte order, uint32 type == 1, two doubles — and is
+   * the probe-side shape of every page-scale join, so skipping the
+   * WKBReader stream machinery removes most of the per-row refine
+   * allocation. Anything else falls back to the full reader.
+   */
+  def fromWkbFast(b: Array[Byte]): Geometry =
+    if (b != null && b.length == 21 && (b(0) == 0 || b(0) == 1)) {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      bb.order(if (b(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+      if (bb.getInt(1) == 1)
+        factory.createPoint(new Coordinate(bb.getDouble(5), bb.getDouble(13)))
+      else fromWkb(b)
+    } else fromWkb(b)
   def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
   def fromWkt(s: String): Geometry = wktReader.get.read(s)
   def toWkt(g: Geometry): String = wktWriter.get.write(g)

@@ -149,6 +149,25 @@ class GeomExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fromWkbFast decodes 2D points bit-exactly and falls back on everything else") {
+    val wkt = Seq(
+      "POINT (12.3456789 -45.654321)", "POINT (-180 90)", "POINT (0 0)",
+      "LINESTRING (0 0, 1 1)", "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+      "MULTIPOINT ((1 2), (3 4))")
+    wkt.foreach { w =>
+      val g = GeomCodec.fromWkt(w)
+      val le = GeomCodec.toWkb(g) // JTS writes little-endian (byte 0 == 1)
+      assert(GeomCodec.fromWkbFast(le).equalsExact(g), w)
+      // big-endian variant of the same geometry
+      val be = new org.locationtech.jts.io.WKBWriter(2, org.locationtech.jts.io.ByteOrderValues.BIG_ENDIAN).write(g)
+      assert(GeomCodec.fromWkbFast(be).equalsExact(g), s"BE $w")
+    }
+    // EWKB-style SRID point (25 bytes) must take the fallback reader path
+    val srid = new org.locationtech.jts.io.WKBWriter(2, true).write(GeomCodec.point(3.5, -7.25))
+    assert(srid.length != 21)
+    assert(GeomCodec.fromWkbFast(srid).equalsExact(GeomCodec.point(3.5, -7.25)))
+  }
+
   test("whole-stage codegen keeps ST predicates inline (no CodegenFallback in hot filter)") {
     val df = graft.pages.WebPages.pages(spark, sfDir)
       .filter(st.contains(st.makeBox(lit(-80.0), lit(35.0), lit(-70.0), lit(45.0)), col("geom")))
