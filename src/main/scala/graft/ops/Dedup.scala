@@ -67,15 +67,35 @@ object Dedup {
                    threshold: Double = 0.6, maxBucket: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = unhex(md5(col(textName).cast("binary"))) // 16-byte key, not hex string
-    val members = df.select(col(idName).as("id"), h.as("__h"))
-    val sig = df.select(col(idName).as("id"), h.as("__h"),
+    // ONE pass over the corpus computes everything per-doc (16-byte content
+    // hash + 8 band keys ≈ 90 B/row, ~0.1% of the text bytes) and is
+    // eagerly materialized: the pipeline's DAG fans out into several
+    // branches (banding, group sizes, expansion), and every branch — plus
+    // every broadcast build — would otherwise re-scan the corpus and
+    // re-hash every document (measured: 4-5 full corpus passes; this and
+    // the clusters() rounds are the two places the library trades a
+    // localCheckpoint for recompute — blocks are freed by the
+    // ContextCleaner when the frame is GC'd, never leaked)
+    val base = df.select(col(idName).as("id"), h.as("__h"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
-      .filter(element_at(col("__sig"), 1) =!= lit(Long.MaxValue))
-    // identical texts have identical signatures, so any group member's sig
-    // represents the group; min id is the stable representative
-    val reps = sig.groupBy("__h").agg(min(col("id")).as("rid"), first(col("__sig")).as("__sig"))
-    val bands = reps.select(col("rid"), col("__h"),
-      explode(tx.lshBands(col("__sig"), lit(rowsPerBand))).as("band"))
+      .select(col("id"), col("__h"),
+        when(element_at(col("__sig"), 1) =!= lit(Long.MaxValue),
+          tx.lshBands(col("__sig"), lit(rowsPerBand))).as("__bands"))
+      .localCheckpoint(true)
+    val members = base.select("id", "__h")
+    // identical texts have identical signatures hence identical bands, so
+    // any group member's BAND ARRAY represents the group; sub-shingle docs
+    // (null bands — no shingle set, exact-dedup territory) never band
+    val banded = base.filter(col("__bands").isNotNull)
+    // min(struct(...)) — NOT first(): first() is a non-deterministic
+    // aggregate in Spark, which blocks exchange reuse, so the self-join
+    // below would compute the whole sig→collapse→band subtree TWICE
+    // (measured 2.5x wall on the full pipeline); min over the struct is
+    // deterministic (id is unique) and keeps ReusedExchange eligible
+    val reps = banded.groupBy("__h")
+      .agg(min(struct(col("id"), col("__bands"))).as("__m"))
+      .select(col("__h"), col("__m.id").as("rid"), col("__m.__bands").as("__bands"))
+    val bands = reps.select(col("rid"), col("__h"), explode(col("__bands")).as("band"))
     val guarded = bands
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("__bc") <= maxBucket).drop("__bc")
@@ -91,8 +111,15 @@ object Dedup {
       .join(texts, col("rid_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
       .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
       .filter(col("jaccard") >= threshold)
-      .select(col("ha"), col("hb"), col("jaccard"))
-    expandGroups(members, reps.select("__h"), repPairs, "jaccard", lit(1.0))
+      .select(col("rid_a"), col("ha"), col("rid_b"), col("hb"), col("jaccard"))
+    // multi-member groups derived from the cheap md5 frame, NOT from reps:
+    // a broadcast build re-executes its subtree, and reps costs a full
+    // signature pass over the corpus — the group-size group-by shuffles
+    // only 24-byte rows, and shingle-ability of a byte-identical group is
+    // decided by testing its representative's text alone (tiny join)
+    val multiHashes = multiGroupHashes(members, df, textName, idName,
+      t => element_at(tx.minhash(t, lit(numHashes), lit(shingle)), 1) =!= lit(Long.MaxValue))
+    expandGroups(members, multiHashes, repPairs, "jaccard", lit(1.0))
   }
 
   /** SimHash near-dup pairs: bucket on rotated 16-bit blocks (any pair
@@ -104,13 +131,21 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = unhex(md5(col(textName).cast("binary"))) // 16-byte key, not hex string
-    val members = df.select(col(idName).as("id"), h.as("__h"))
-    val sigs = df.select(col(idName).as("id"), h.as("__h"),
+    // one corpus pass, eagerly materialized (32 B/row) — same rationale as
+    // minhashPairs: the DAG fans out and every branch/broadcast build would
+    // re-scan and re-hash the corpus otherwise
+    val base = df.select(col(idName).as("id"), h.as("__h"),
         tx.simhash(col(textName)).as("sig"))
-      .filter(col("sig") =!= 0L)
+      .localCheckpoint(true)
+    val members = base.select("id", "__h")
+    val sigs = base.filter(col("sig") =!= 0L)
     // identical texts share the signature: collapse to one representative
     // per exact-text group BEFORE blocking (same shape as minhashPairs)
-    val reps = sigs.groupBy("__h").agg(min("id").as("rid"), first("sig").as("rsig"))
+    // min(struct(...)) not first() — same exchange-reuse rationale as
+    // minhashPairs (first() is non-deterministic and blocks reuse)
+    val reps = sigs.groupBy("__h")
+      .agg(min(struct(col("id"), col("sig"))).as("__m"))
+      .select(col("__h"), col("__m.id").as("rid"), col("__m.sig").as("rsig"))
     // ONE scan emits all 4 rotated blocks per row (no 4-way self-union);
     // block key is a LONG — bits 0..15 the slice, bits 16..17 the slice
     // index (disjoint keyspace per block, no string concat in the shuffle)
@@ -124,13 +159,31 @@ object Dedup {
       .filter(col("__bc") <= maxBucket).drop("__bc")
     val repPairs = guarded.as("a").join(guarded.as("b"),
         col("a.block") === col("b.block") && col("a.rid") < col("b.rid"))
-      .select(col("a.__h").as("ha"), col("b.__h").as("hb"),
+      .select(col("a.rid").as("rid_a"), col("a.__h").as("ha"),
+        col("b.rid").as("rid_b"), col("b.__h").as("hb"),
         col("a.rsig").as("sig_a"), col("b.rsig").as("sig_b"))
       .dropDuplicates("ha", "hb")
       .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("ha", "hb", "hamming")
-    expandGroups(members, reps.select("__h"), repPairs, "hamming", lit(0))
+      .select("rid_a", "ha", "rid_b", "hb", "hamming")
+    val multiHashes = multiGroupHashes(members, df, textName, idName,
+      t => tx.simhash(t) =!= 0L)
+    expandGroups(members, multiHashes, repPairs, "hamming", lit(0))
+  }
+
+  /** Group hashes with ≥2 members whose (byte-identical) text passes
+    * `bandable` — the groups that can contribute within-pairs. Costs one
+    * 24-byte-row group-by plus a join of the (few) multi-group reps with
+    * their texts; never a second signature pass over the corpus. */
+  private def multiGroupHashes(members: DataFrame, df: DataFrame,
+                               textName: String, idName: String,
+                               bandable: Column => Column): DataFrame = {
+    val gsz = members.groupBy("__h")
+      .agg(min(col("id")).as("__rid0"), count(lit(1)).as("__g"))
+      .filter(col("__g") >= 2)
+    gsz.join(df.select(col(idName).as("__rid0"), col(textName).as("__t")), Seq("__rid0"))
+      .filter(bandable(col("__t")))
+      .select("__h")
   }
 
   /**
@@ -140,19 +193,33 @@ object Dedup {
    * verified cross-group pair (identical texts per group ⇒ the pair
    * similarity is the representatives'). All joins are equi-keyed on the
    * 16-byte group hash; output size is the true answer size.
+   *
+   * `multiHashes` is the set of group hashes with ≥2 members — in a
+   * mostly-unique corpus it is near-empty, so the expansion machinery
+   * (the within self-join and the two cross joins, which a first cut ran
+   * over ALL members — a measured 2x of the whole pipeline's wall time)
+   * touches only the rows that can actually expand; a singleton group's
+   * member IS its representative, recovered by the left-join coalesce.
    */
-  private def expandGroups(members: DataFrame, okHashes: DataFrame,
+  private def expandGroups(members: DataFrame, multiHashes: DataFrame,
                            repPairs: DataFrame, simName: String,
                            withinSim: Column): DataFrame = {
-    val ok = members.join(okHashes.distinct(), Seq("__h"), "left_semi")
-    val within = ok.as("x").join(ok.as("y"),
+    // eagerly materialized: m2 feeds three broadcast builds below, and each
+    // broadcast build re-executes its subtree from the leaves (broadcast
+    // exchanges are never reused across different projections), which
+    // re-ran the corpus-wide hash scan 3x; localCheckpoint runs it once and
+    // the blocks are freed by the ContextCleaner when the frame is GC'd
+    val m2 = members.join(multiHashes.distinct(), Seq("__h"), "left_semi")
+      .localCheckpoint(true)
+    val within = m2.as("x").join(m2.as("y"),
         col("x.__h") === col("y.__h") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), withinSim.as(simName))
     val cross = repPairs
-      .join(members.select(col("__h").as("ha"), col("id").as("__ia")), Seq("ha"))
-      .join(members.select(col("__h").as("hb"), col("id").as("__ib")), Seq("hb"))
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"), col(simName))
+      .join(m2.select(col("__h").as("ha"), col("id").as("__ia")), Seq("ha"), "left")
+      .join(m2.select(col("__h").as("hb"), col("id").as("__ib")), Seq("hb"), "left")
+      .select(least(coalesce(col("__ia"), col("rid_a")), coalesce(col("__ib"), col("rid_b"))).as("id_a"),
+        greatest(coalesce(col("__ia"), col("rid_a")), coalesce(col("__ib"), col("rid_b"))).as("id_b"),
+        col(simName))
     within.union(cross)
   }
 
