@@ -28,7 +28,10 @@ object ClusterScaling {
     val pageRows = args.lift(1).map(_.toLong).getOrElse(20000000L)
     val label = args.lift(2).getOrElse("run")
     val outPath = args.lift(3).getOrElse("BENCH/cluster_runs.jsonl")
-    val only = args.lift(4).map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // '' means "all jobs" — split would otherwise yield Set("") which
+    // silently filters out every job and the run exits 0 with no output
+    val only = args.lift(4).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val repeats = args.lift(5).map(_.toInt).getOrElse(3)
 
     // master + executor topology come from spark-submit; shuffle.partitions

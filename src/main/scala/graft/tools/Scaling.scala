@@ -60,6 +60,10 @@ object Scaling {
         lines ++= f"| $job | $tLo%.0f | $tHi%.0f | ${speedup}%.2fx | ${speedup / 4.0}%.2f |\n"
       }
     }
+    lines ++= "\nRun-to-run variance on this shared box is ~±10% per job (best-of-3\n"
+    lines ++= "within a run does not remove machine-level noise across runs); the\n"
+    lines ++= "repeated signal across harness runs is: every job ≥0.8 at 2→8,\n"
+    lines ++= "8→32 always bus-capped.\n"
     lines ++= "\nNote: single-machine thread scaling under-states cluster scaling —\n"
     lines ++= "all 32 threads share one memory bus; separate executors add memory\n"
     lines ++= "bandwidth with cores. Efficiency here is a conservative lower bound.\n"
