@@ -112,13 +112,12 @@ object Dedup {
       .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
       .filter(col("jaccard") >= threshold)
       .select(col("rid_a"), col("ha"), col("rid_b"), col("hb"), col("jaccard"))
-    // multi-member groups derived from the cheap md5 frame, NOT from reps:
-    // a broadcast build re-executes its subtree, and reps costs a full
-    // signature pass over the corpus — the group-size group-by shuffles
-    // only 24-byte rows, and shingle-ability of a byte-identical group is
-    // decided by testing its representative's text alone (tiny join)
-    val multiHashes = multiGroupHashes(members, df, textName, idName,
-      t => element_at(tx.minhash(t, lit(numHashes), lit(shingle)), 1) =!= lit(Long.MaxValue))
+    // multi-member groups come straight off the checkpointed compact frame
+    // (group members are byte-identical, so any member's bandability flag
+    // is the group's) — a 24-byte-row group-by over cached blocks, never a
+    // second corpus pass
+    val multiHashes = multiGroupHashes(
+      base.select(col("__h"), col("__bands").isNotNull.as("__ok")))
     expandGroups(members, multiHashes, repPairs, "jaccard", lit(1.0))
   }
 
@@ -166,25 +165,22 @@ object Dedup {
       .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("rid_a", "ha", "rid_b", "hb", "hamming")
-    val multiHashes = multiGroupHashes(members, df, textName, idName,
-      t => tx.simhash(t) =!= 0L)
+    val multiHashes = multiGroupHashes(
+      base.select(col("__h"), (col("sig") =!= 0L).as("__ok")))
     expandGroups(members, multiHashes, repPairs, "hamming", lit(0))
   }
 
-  /** Group hashes with ≥2 members whose (byte-identical) text passes
-    * `bandable` — the groups that can contribute within-pairs. Costs one
-    * 24-byte-row group-by plus a join of the (few) multi-group reps with
-    * their texts; never a second signature pass over the corpus. */
-  private def multiGroupHashes(members: DataFrame, df: DataFrame,
-                               textName: String, idName: String,
-                               bandable: Column => Column): DataFrame = {
-    val gsz = members.groupBy("__h")
-      .agg(min(col("id")).as("__rid0"), count(lit(1)).as("__g"))
-      .filter(col("__g") >= 2)
-    gsz.join(df.select(col(idName).as("__rid0"), col(textName).as("__t")), Seq("__rid0"))
-      .filter(bandable(col("__t")))
+  /** Group hashes with ≥2 members whose (byte-identical) members banded —
+    * the groups that can contribute within-pairs. One 24-byte-row group-by
+    * over the caller's checkpointed frame; eagerly materialized (one tiny
+    * row per multi-member group) because it is rebuilt inside every
+    * downstream broadcast build and its emptiness steers the expansion. */
+  private def multiGroupHashes(flagged: DataFrame): DataFrame =
+    flagged.groupBy("__h")
+      .agg(count(lit(1)).as("__g"), min(col("__ok")).as("__ok"))
+      .filter(col("__g") >= 2 && col("__ok"))
       .select("__h")
-  }
+      .localCheckpoint(true)
 
   /**
    * Expand verified representative pairs back to member-id pairs:
@@ -204,11 +200,19 @@ object Dedup {
   private def expandGroups(members: DataFrame, multiHashes: DataFrame,
                            repPairs: DataFrame, simName: String,
                            withinSim: Column): DataFrame = {
-    // eagerly materialized: m2 feeds three broadcast builds below, and each
-    // broadcast build re-executes its subtree from the leaves (broadcast
-    // exchanges are never reused across different projections), which
-    // re-ran the corpus-wide hash scan 3x; localCheckpoint runs it once and
-    // the blocks are freed by the ContextCleaner when the frame is GC'd
+    // multiHashes arrives materialized (tiny), so its emptiness is a free
+    // driver-side fact: a mostly-unique corpus — the common case — has no
+    // multi-member groups, every representative is its group's only
+    // member, and the whole expansion machinery (the within self-join and
+    // two cross joins, each of whose broadcast builds re-executes its
+    // subtree) is skipped outright
+    if (multiHashes.isEmpty) {
+      return repPairs.select(least(col("rid_a"), col("rid_b")).as("id_a"),
+        greatest(col("rid_a"), col("rid_b")).as("id_b"), col(simName))
+    }
+    // dup-heavy path: m2 (members of multi-groups) feeds three broadcast
+    // builds; eagerly materialized so they read cached blocks instead of
+    // re-running the semi-join per build (blocks freed on GC)
     val m2 = members.join(multiHashes.distinct(), Seq("__h"), "left_semi")
       .localCheckpoint(true)
     val within = m2.as("x").join(m2.as("y"),
