@@ -429,11 +429,15 @@ object SparkEntry {
       // a composite spatial + temporal + attribute filter parsed by
       // graft.cql.Ecql into the same St* expression trees the typed API
       // builds. Box edges sit at .0005° so no milli-degree point can land
-      // exactly on a boundary; DURING is the strict interior.
+      // exactly on a boundary; DURING is the strict interior. The DURING
+      // window sits INSIDE the reachable warc_ts range (2011-06-01 +
+      // doc_id-seconds, doc_id < 500 at the GATE's sf0.01 — 5000 at sf0.1),
+      // so the gate selects a non-trivial row set at every shipped scale —
+      // each conjunct prunes real rows.
       graft.cql.Ecql.where(pages(s, dir),
         "INTERSECTS(geom, POLYGON ((-100.0005 20.0005, -60.0005 20.0005, " +
           "-60.0005 50.0005, -100.0005 50.0005, -100.0005 20.0005))) AND " +
-          "warc_ts DURING 2011-06-05T00:00:00Z/2011-06-12T00:00:00Z AND " +
+          "warc_ts DURING 2011-06-01T00:01:00Z/2011-06-01T00:05:00Z AND " +
           "lang IN ('en', 'de') AND text LIKE '%the%' AND doc_id IS NOT NULL")
         .select("doc_id", "lang").orderBy("doc_id")
     }),
@@ -457,14 +461,58 @@ object SparkEntry {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_fw_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       rmrf(new java.io.File(out))
+      // widths enforced EXPLICITLY (lpad/rpad truncate-and-pad): java's
+      // format_string neither truncates over-width values nor renders NULL
+      // as spaces (it emits the literal "null"), either of which would
+      // silently shift the fixed layout — lpad/rpad keep every row exactly
+      // 26 bytes whatever the data does
       s.read.parquet(s"$dir/documents.parquet")
-        .select(format_string("%10d%-4s%12d", col("doc_id"), col("lang"), col("n_chars")).as("value"))
+        .select(concat(
+          lpad(col("doc_id").cast("string"), 10, " "),
+          rpad(substring(coalesce(col("lang"), lit("")), 1, 4), 4, " "),
+          lpad(col("n_chars").cast("string"), 12, " ")).as("value"))
         .write.mode("overwrite").text(out)
       graft.sources.IngestExport.fixedWidth(s, out, Seq(
           ("doc_id", 1, 10, "bigint"), ("lang", 11, 4, "string"), ("n_chars", 15, 12, "bigint")))
         .filter(col("n_chars") > 200)
         .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
         .orderBy("lang")
+    }),
+    "q_geojson_roundtrip" -> ((s, dir) => {
+      // GeoJSON export (reference S10, FeatureExporter.scala:46-129) →
+      // re-parse (from_json) → box filter + agg: a green row proves the
+      // render→parse round trip preserves ids and coordinates bit-exactly
+      // (Double.toString shortest-repr parses back to the same double, and
+      // the oracle aggregates the ORIGINAL parquet doubles)
+      import org.apache.spark.sql.types._
+      val gjSchema = StructType(Seq(
+        StructField("id", StringType),
+        StructField("geometry", StructType(Seq(
+          StructField("type", StringType),
+          StructField("coordinates", ArrayType(DoubleType)))))))
+      graft.sources.IngestExport.toGeoJson(
+          pages(s, dir).select("doc_id", "geom"), "geom", "doc_id")
+        .select(from_json(col("feature"), gjSchema).as("f"))
+        .select(col("f.id").cast("long").as("doc_id"),
+          element_at(col("f.geometry.coordinates"), 1).as("lon"),
+          element_at(col("f.geometry.coordinates"), 2).as("lat"))
+        .filter(col("lon") > -80.0 && col("lon") < -70.0 &&
+          col("lat") > 35.0 && col("lat") < 45.0)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+          min("lon").as("min_lon"), max("lat").as("max_lat"))
+    }),
+    "q_bin_roundtrip" -> ((s, dir) => {
+      // BIN viewer export (reference F6: 16-byte LE records) → decode →
+      // agg; lat/lon pass through a float32 round-trip (IEEE
+      // round-to-nearest then exact widening — identical in DuckDB), sec
+      // through int32
+      val p = pages(s, dir).select("doc_id", "lon", "lat", "sec")
+      val bins = graft.sources.IngestExport.toBin(
+        p, col("doc_id"), col("lat"), col("lon"), col("sec"))
+      graft.sources.IngestExport.fromBin(bins, "bin")
+        .agg(count(lit(1)).as("n"), sum(col("sec").cast("long")).as("sum_sec"),
+          min(col("lat").cast("double")).as("min_lat"),
+          max(col("lon").cast("double")).as("max_lon"))
     }),
     "q_layout_stats" -> ((s, dir) => {
       // manifest-only count + bounds estimates (reference A6/A7: record-
@@ -905,7 +953,7 @@ object SparkEntry {
          |SELECT doc_id, lang FROM pages
          |WHERE lon > -100.0005 AND lon < -60.0005
          |  AND lat > 20.0005 AND lat < 50.0005
-         |  AND (doc_id % 2592000) > 345600 AND (doc_id % 2592000) < 950400
+         |  AND (doc_id % 2592000) > 60 AND (doc_id % 2592000) < 300
          |  AND lang IN ('en', 'de') AND text LIKE '%the%' AND doc_id IS NOT NULL
          |ORDER BY doc_id""".stripMargin,
     "q_avro_roundtrip" ->
@@ -914,6 +962,21 @@ object SparkEntry {
     "q_fixedwidth_roundtrip" ->
       s"""SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
          |FROM documents WHERE n_chars > 200 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_geojson_roundtrip" ->
+      s"""WITH $CTE_PAGES
+         |SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+         |  MIN(lon) AS min_lon, MAX(lat) AS max_lat
+         |FROM pages
+         |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0""".stripMargin,
+    "q_bin_roundtrip" ->
+      // sec rides the record as int32, lat/lon as float32: the oracle
+      // applies the same narrowing casts to the original doubles
+      s"""WITH $CTE_PAGES
+         |SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(sec AS INTEGER)) AS BIGINT) AS sum_sec,
+         |  CAST(MIN(CAST(lat AS REAL)) AS DOUBLE) AS min_lat,
+         |  CAST(MAX(CAST(lon AS REAL)) AS DOUBLE) AS max_lon
+         |FROM pages""".stripMargin,
     "q_layout_stats" ->
       // bucket grid at res 3: 8×8 cells of 45°×22.5°; the engine's
       // Z2.lonToX/latToY truncate the non-negative scaled coordinate and

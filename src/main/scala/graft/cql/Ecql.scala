@@ -297,9 +297,13 @@ object Ecql {
         return if (negated) prop.isNotNull else prop.isNull
       }
       if (acceptKw("DURING")) {
-        val t1 = tsLit(expect(Tok.DateTime, "ISO instant"), tok.pos)
+        // capture the instant's own position BEFORE expect() advances past
+        // it, so a malformed instant reports itself, not the next token
+        val p1 = tok.pos
+        val t1 = tsLit(expect(Tok.DateTime, "ISO instant"), p1)
         expect(Tok.Slash, "/")
-        val t2 = tsLit(expect(Tok.DateTime, "ISO instant"), tok.pos)
+        val p2 = tok.pos
+        val t2 = tsLit(expect(Tok.DateTime, "ISO instant"), p2)
         return prop > t1 && prop < t2 // OGC During: strict interior
       }
       if (acceptKw("BEFORE")) return prop < value()

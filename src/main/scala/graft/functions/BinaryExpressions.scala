@@ -94,6 +94,28 @@ object BinEncodeRT {
     java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0)
   def decodeSec(b: Array[Byte]): Int =
     java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(12)
+  /** Full record decode as an InternalRow (the struct kernel [[BinDecode]]
+    * calls from interpreted and generated code alike). */
+  def decodeRow(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(
+      decodeId(b), decodeLat(b), decodeLon(b), decodeSec(b))
+}
+
+/** bin_decode(binary) → struct<id_hash:int, lat:float, lon:float, sec:int> —
+  * the read half of [[BinEncode]] (reference Convert2ViewerFunction decode,
+  * geomesa-filter/.../Convert2ViewerFunction.scala:102-150). */
+case class BinDecode(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("id_hash", IntegerType, nullable = false),
+    StructField("lat", FloatType, nullable = false),
+    StructField("lon", FloatType, nullable = false),
+    StructField("sec", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    BinEncodeRT.decodeRow(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.BinEncodeRT.decodeRow($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 case class BinEncode(first: Expression, second: Expression, third: Expression, fourth: Expression)

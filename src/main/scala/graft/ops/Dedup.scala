@@ -20,8 +20,36 @@ import org.apache.spark.sql.functions._
  * not an LSH problem. Verified pairs between representatives are expanded
  * back to all member pairs (plus the within-group pairs, which are exact
  * duplicates by construction), so the output is still the full pair set.
+ *
+ * Materialization policy (all compact per-doc frames go through
+ * [[compactFrame]]): small inputs use a LAZY persist (no extra job — the
+ * eager-checkpoint constant dominated small-corpus latency); large inputs
+ * use an eager checkpoint so the fan-out DAG and every broadcast build read
+ * cached blocks instead of re-scanning the corpus 4-5×. `localCheckpoint`
+ * truncates lineage, so ON A REAL CLUSTER an executor loss mid-query fails
+ * the job instead of recomputing — callers that need fault tolerance set
+ * `sparkContext.setCheckpointDir(...)` and the same frames are RELIABLY
+ * checkpointed to that shared filesystem instead (lineage-free AND
+ * executor-loss-safe). Blocks are freed by the ContextCleaner when the
+ * frames are GC'd.
  */
 object Dedup {
+
+  /** Inputs whose optimizer-estimated size is below this skip the eager
+    * checkpoint: recomputing a few MB is cheaper than the checkpoint job. */
+  val SmallCorpusBytes: Long = 64L * 1024 * 1024
+
+  /** True when the plan's estimated size crosses [[SmallCorpusBytes]];
+    * unknown-size sentinels (LocalRelation, post-join frames) count as big —
+    * the safe direction, matching pre-r4 behavior. */
+  private def isBig(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(SmallCorpusBytes)
+
+  /** Materialize a compact derived frame per the object-doc policy. */
+  private def compactFrame(df: DataFrame, big: Boolean): DataFrame =
+    if (!big) df.persist()
+    else if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Exact duplicate groups by content hash: (text_hash, keeper_id, n). */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -66,22 +94,19 @@ object Dedup {
                    numHashes: Int = 32, rowsPerBand: Int = 4, shingle: Int = 3,
                    threshold: Double = 0.6, maxBucket: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val big = isBig(df)
     val h = unhex(md5(col(textName).cast("binary"))) // 16-byte key, not hex string
     // ONE pass over the corpus computes everything per-doc (16-byte content
-    // hash + 8 band keys ≈ 90 B/row, ~0.1% of the text bytes) and is
-    // eagerly materialized: the pipeline's DAG fans out into several
+    // hash + 8 band keys ≈ 90 B/row, ~0.1% of the text bytes), materialized
+    // per the object-doc policy: the pipeline's DAG fans out into several
     // branches (banding, group sizes, expansion), and every branch — plus
     // every broadcast build — would otherwise re-scan the corpus and
-    // re-hash every document (measured: 4-5 full corpus passes; this and
-    // the clusters() rounds are the two places the library trades a
-    // localCheckpoint for recompute — blocks are freed by the
-    // ContextCleaner when the frame is GC'd, never leaked)
-    val base = df.select(col(idName).as("id"), h.as("__h"),
+    // re-hash every document (measured: 4-5 full corpus passes)
+    val base = compactFrame(df.select(col(idName).as("id"), h.as("__h"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
       .select(col("id"), col("__h"),
         when(element_at(col("__sig"), 1) =!= lit(Long.MaxValue),
-          tx.lshBands(col("__sig"), lit(rowsPerBand))).as("__bands"))
-      .localCheckpoint(true)
+          tx.lshBands(col("__sig"), lit(rowsPerBand))).as("__bands")), big)
     val members = base.select("id", "__h")
     // identical texts have identical signatures hence identical bands, so
     // any group member's BAND ARRAY represents the group; sub-shingle docs
@@ -94,15 +119,21 @@ object Dedup {
     // deterministic (id is unique) and keeps ReusedExchange eligible
     val reps = banded.groupBy("__h")
       .agg(min(struct(col("id"), col("__bands"))).as("__m"))
-      .select(col("__h"), col("__m.id").as("rid"), col("__m.__bands").as("__bands"))
-    val bands = reps.select(col("rid"), col("__h"), explode(col("__bands")).as("band"))
+      .select(col("__m.id").as("rid"), col("__m.__bands").as("__bands"))
+    // the band shuffle (the pipeline's dominant exchange at scale — the
+    // window count AND both self-join sides repartition on `band`) carries
+    // ONLY (band:long, rid:long): the 16-byte group hash is functionally
+    // determined by rid and is re-attached AFTER candidate generation from
+    // the compact cached frame — halving the exchange bytes vs shipping
+    // __h through it (the r3 process-isolated scaling runs measured this
+    // join shuffle-volume-bound)
+    val bands = reps.select(col("rid"), explode(col("__bands")).as("band"))
     val guarded = bands
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("__bc") <= maxBucket).drop("__bc")
     val candidates = guarded.as("a").join(guarded.as("b"),
         col("a.band") === col("b.band") && col("a.rid") < col("b.rid"))
-      .select(col("a.rid").as("rid_a"), col("a.__h").as("ha"),
-        col("b.rid").as("rid_b"), col("b.__h").as("hb"))
+      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
       .dropDuplicates("rid_a", "rid_b")
     // texts re-join ONLY for the (typically tiny) surviving candidate set
     val texts = df.select(col(idName).as("__tid"), col(textName).as("__text"))
@@ -111,14 +142,14 @@ object Dedup {
       .join(texts, col("rid_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
       .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
       .filter(col("jaccard") >= threshold)
-      .select(col("rid_a"), col("ha"), col("rid_b"), col("hb"), col("jaccard"))
-    // multi-member groups come straight off the checkpointed compact frame
+      .select(col("rid_a"), col("rid_b"), col("jaccard"))
+    // multi-member groups come straight off the materialized compact frame
     // (group members are byte-identical, so any member's bandability flag
     // is the group's) — a 24-byte-row group-by over cached blocks, never a
     // second corpus pass
     val multiHashes = multiGroupHashes(
-      base.select(col("__h"), col("__bands").isNotNull.as("__ok")))
-    expandGroups(members, multiHashes, repPairs, "jaccard", lit(1.0))
+      base.select(col("__h"), col("__bands").isNotNull.as("__ok")), big)
+    expandGroups(members, multiHashes, repPairs, "jaccard", lit(1.0), big)
   }
 
   /** SimHash near-dup pairs: bucket on rotated 16-bit blocks (any pair
@@ -129,13 +160,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, textName: String, idName: String,
                    maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val big = isBig(df)
     val h = unhex(md5(col(textName).cast("binary"))) // 16-byte key, not hex string
-    // one corpus pass, eagerly materialized (32 B/row) — same rationale as
-    // minhashPairs: the DAG fans out and every branch/broadcast build would
-    // re-scan and re-hash the corpus otherwise
-    val base = df.select(col(idName).as("id"), h.as("__h"),
-        tx.simhash(col(textName)).as("sig"))
-      .localCheckpoint(true)
+    // one corpus pass, materialized per the object-doc policy (32 B/row) —
+    // same rationale as minhashPairs: the DAG fans out and every
+    // branch/broadcast build would re-scan and re-hash the corpus otherwise
+    val base = compactFrame(df.select(col(idName).as("id"), h.as("__h"),
+        tx.simhash(col(textName)).as("sig")), big)
     val members = base.select("id", "__h")
     val sigs = base.filter(col("sig") =!= 0L)
     // identical texts share the signature: collapse to one representative
@@ -144,43 +175,50 @@ object Dedup {
     // minhashPairs (first() is non-deterministic and blocks reuse)
     val reps = sigs.groupBy("__h")
       .agg(min(struct(col("id"), col("sig"))).as("__m"))
-      .select(col("__h"), col("__m.id").as("rid"), col("__m.sig").as("rsig"))
+      .select(col("__m.id").as("rid"), col("__m.sig").as("rsig"))
     // ONE scan emits all 4 rotated blocks per row (no 4-way self-union);
     // block key is a LONG — bits 0..15 the slice, bits 16..17 the slice
-    // index (disjoint keyspace per block, no string concat in the shuffle)
+    // index (disjoint keyspace per block, no string concat in the shuffle).
+    // The block shuffle carries ONLY (block:long, rid:long) — the 16-byte
+    // group hash and the 8-byte signature are functionally determined by
+    // rid and re-attached after candidate generation (same shuffle-slimming
+    // as minhashPairs; rid→rsig comes from the tiny `reps` frame, a
+    // group-by over cached base blocks)
     val blockArr = array((0 until 4).map { b =>
       shiftright(col("rsig"), b * 16).bitwiseAND(lit(0xffffL))
         .bitwiseOR(lit(b.toLong << 16))
     }: _*)
-    val blocks = reps.select(col("rid"), col("__h"), col("rsig"), explode(blockArr).as("block"))
+    val blocks = reps.select(col("rid"), explode(blockArr).as("block"))
     val guarded = blocks
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy("block")))
       .filter(col("__bc") <= maxBucket).drop("__bc")
-    val repPairs = guarded.as("a").join(guarded.as("b"),
+    // one rep per group hash ⇒ (rid_a, rid_b) dedupe ≡ the old (ha, hb) one
+    val candidates = guarded.as("a").join(guarded.as("b"),
         col("a.block") === col("b.block") && col("a.rid") < col("b.rid"))
-      .select(col("a.rid").as("rid_a"), col("a.__h").as("ha"),
-        col("b.rid").as("rid_b"), col("b.__h").as("hb"),
-        col("a.rsig").as("sig_a"), col("b.rsig").as("sig_b"))
-      .dropDuplicates("ha", "hb")
+      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
+      .dropDuplicates("rid_a", "rid_b")
+    val lut = reps
+    val repPairs = candidates
+      .join(lut.select(col("rid").as("rid_a"), col("rsig").as("sig_a")), Seq("rid_a"))
+      .join(lut.select(col("rid").as("rid_b"), col("rsig").as("sig_b")), Seq("rid_b"))
       .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("rid_a", "ha", "rid_b", "hb", "hamming")
+      .select("rid_a", "rid_b", "hamming")
     val multiHashes = multiGroupHashes(
-      base.select(col("__h"), (col("sig") =!= 0L).as("__ok")))
-    expandGroups(members, multiHashes, repPairs, "hamming", lit(0))
+      base.select(col("__h"), (col("sig") =!= 0L).as("__ok")), big)
+    expandGroups(members, multiHashes, repPairs, "hamming", lit(0), big)
   }
 
   /** Group hashes with ≥2 members whose (byte-identical) members banded —
     * the groups that can contribute within-pairs. One 24-byte-row group-by
-    * over the caller's checkpointed frame; eagerly materialized (one tiny
+    * over the caller's materialized frame; materialized itself (one tiny
     * row per multi-member group) because it is rebuilt inside every
     * downstream broadcast build and its emptiness steers the expansion. */
-  private def multiGroupHashes(flagged: DataFrame): DataFrame =
-    flagged.groupBy("__h")
+  private def multiGroupHashes(flagged: DataFrame, big: Boolean): DataFrame =
+    compactFrame(flagged.groupBy("__h")
       .agg(count(lit(1)).as("__g"), min(col("__ok")).as("__ok"))
       .filter(col("__g") >= 2 && col("__ok"))
-      .select("__h")
-      .localCheckpoint(true)
+      .select("__h"), big)
 
   /**
    * Expand verified representative pairs back to member-id pairs:
@@ -199,26 +237,32 @@ object Dedup {
    */
   private def expandGroups(members: DataFrame, multiHashes: DataFrame,
                            repPairs: DataFrame, simName: String,
-                           withinSim: Column): DataFrame = {
+                           withinSim: Column, big: Boolean): DataFrame = {
     // multiHashes arrives materialized (tiny), so its emptiness is a free
     // driver-side fact: a mostly-unique corpus — the common case — has no
     // multi-member groups, every representative is its group's only
-    // member, and the whole expansion machinery (the within self-join and
-    // two cross joins, each of whose broadcast builds re-executes its
-    // subtree) is skipped outright
+    // member, and the whole expansion machinery (the hash re-attach, the
+    // within self-join and two cross joins, each of whose broadcast builds
+    // re-executes its subtree) is skipped outright
     if (multiHashes.isEmpty) {
       return repPairs.select(least(col("rid_a"), col("rid_b")).as("id_a"),
         greatest(col("rid_a"), col("rid_b")).as("id_b"), col(simName))
     }
-    // dup-heavy path: m2 (members of multi-groups) feeds three broadcast
-    // builds; eagerly materialized so they read cached blocks instead of
-    // re-running the semi-join per build (blocks freed on GC)
-    val m2 = members.join(multiHashes.distinct(), Seq("__h"), "left_semi")
-      .localCheckpoint(true)
+    // dup-heavy path: re-attach the group hashes the candidate shuffle no
+    // longer carries — repPairs is the tiny verified set, so each join
+    // broadcasts it against one cached-block scan of `members`
+    val withH = repPairs
+      .join(members.select(col("id").as("rid_a"), col("__h").as("ha")), Seq("rid_a"))
+      .join(members.select(col("id").as("rid_b"), col("__h").as("hb")), Seq("rid_b"))
+    // m2 (members of multi-groups) feeds three broadcast builds;
+    // materialized so they read cached blocks instead of re-running the
+    // semi-join per build (blocks freed on GC)
+    val m2 = compactFrame(
+      members.join(multiHashes.distinct(), Seq("__h"), "left_semi"), big)
     val within = m2.as("x").join(m2.as("y"),
         col("x.__h") === col("y.__h") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), withinSim.as(simName))
-    val cross = repPairs
+    val cross = withH
       .join(m2.select(col("__h").as("ha"), col("id").as("__ia")), Seq("ha"), "left")
       .join(m2.select(col("__h").as("hb"), col("id").as("__ib")), Seq("hb"), "left")
       .select(least(coalesce(col("__ia"), col("rid_a")), coalesce(col("__ib"), col("rid_b"))).as("id_a"),

@@ -96,18 +96,33 @@ object SpatialJoin {
       refine, doBroadcast, salts, knownHotCells)
   }
 
+  /** Build sides below this estimated size skip the spread entirely: the
+    * cover math on a handful of rows is cheaper than any shuffle. */
+  val SpreadMinBytes: Long = 64L * 1024
+
   /** Spread a narrow build side across the cluster before the cover
-    * explode: a small polygon table usually arrives in 1-2 parquet
+    * explode: a mid-size polygon table usually arrives in 1-2 parquet
     * partitions, so its JTS cover computation runs as 1-2 tasks — a serial
     * Amdahl term ahead of the broadcast (measured ~3s for 1k polygons,
     * flat in executor count). A round-robin repartition costs one tiny
-    * shuffle of the compact pre-explode rows and lets the cover math use
-    * every core. Large build sides already have partitions and pass
-    * through untouched. */
+    * shuffle of the compact pre-execute rows and lets the cover math use
+    * every core. Gated purely on OPTIMIZER PLAN STATISTICS — no
+    * `.rdd`/physical-plan materialization per call (the r3 version's
+    * per-join RDD conversion was measurable fixed overhead): spread only
+    * when the estimated size says "big enough for the cover math to
+    * matter, small enough to still be sitting in a couple of scan
+    * partitions" (≲ 4×maxPartitionBytes); tiny and unknown-size builds
+    * pass through untouched, and genuinely large builds already have
+    * partitions. */
   private def spreadBuild(polys: DataFrame): DataFrame = {
-    val target = polys.sparkSession.sparkContext.defaultParallelism
-    if (polys.rdd.getNumPartitions >= math.min(4, target)) polys
-    else polys.repartition(target)
+    val sess = polys.sparkSession
+    val conf = sess.sessionState.conf
+    val bytes = polys.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fewPartitions = BigInt(4L) * BigInt(conf.filesMaxPartitionBytes)
+    if (bytes >= BigInt(conf.defaultSizeInBytes)) polys      // unknown-size sentinel
+    else if (bytes < BigInt(SpreadMinBytes)) polys           // tiny build side
+    else if (bytes > fewPartitions) polys                    // already parallel
+    else polys.repartition(sess.sparkContext.defaultParallelism)
   }
 
   /**
@@ -455,8 +470,12 @@ object SpatialJoin {
     val kdOk =
       if (geodetic) col("__kd") <= col("__r")
       else col("__kd") <= col("__r") * col("__r")
+    // min(__bnd) not first(): __bnd is functionally determined by the query
+    // id, but first() is a NON-DETERMINISTIC aggregate in Spark and blocks
+    // exchange reuse — the ranked window's exchange would be recomputed for
+    // the resolved-set subtree (the same recompute trap fixed in Dedup)
     val resolved = ranked.groupBy(col(qidName).as("__rqid"))
-      .agg(count(lit(1)).as("__n"), max(col("__d")).as("__kd"), first(col("__bnd")).as("__r"))
+      .agg(count(lit(1)).as("__n"), max(col("__d")).as("__kd"), min(col("__bnd")).as("__r"))
       .filter(col("__n") === k && kdOk)
       .select("__rqid")
 

@@ -109,7 +109,9 @@ object IngestExport {
     * double / float / string / boolean / binary; nullable → ["null", T]
     * union). Writes to a local/shared filesystem path — the distributed
     * production sink remains parquet ([[graft.layout.CellLayout]]); this
-    * exists for interchange with Avro consumers and round-trip testing. */
+    * exists for interchange with Avro consumers and round-trip testing.
+    * Retry/speculation-safe: each attempt writes an attempt-unique temp
+    * file and atomically renames it into place. */
   def writeAvro(df: DataFrame, path: String, recordName: String = "feature"): Unit = {
     import org.apache.avro.Schema
     import org.apache.spark.sql.types._
@@ -140,9 +142,22 @@ object IngestExport {
         import org.apache.avro.file.DataFileWriter
         import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        // the directory is (re)created inside the task — the driver-side
+        // mkdir above only covers the local[?] case where driver and
+        // executors share a filesystem root
+        val dir = new java.io.File(path)
+        dir.mkdirs()
+        // write to an ATTEMPT-UNIQUE temp file and atomically rename into
+        // place: a task retry or speculative duplicate would otherwise have
+        // two attempts truncating/appending the same container concurrently
+        // (DataFileWriter.create truncates in place); with the rename, the
+        // last attempt to finish publishes a complete container
+        val tmp = new java.io.File(dir,
+          s".part-${tc.partitionId()}-attempt-${tc.taskAttemptId()}.avro.tmp")
+        val dst = new java.io.File(dir, s"part-${tc.partitionId()}.avro")
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, new java.io.File(s"$path/part-$pid.avro"))
+        w.create(schema, tmp)
         try it.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0
@@ -157,6 +172,10 @@ object IngestExport {
           }
           w.append(rec)
         } finally w.close()
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
       }
     }
   }
@@ -224,6 +243,17 @@ object IngestExport {
       ColumnShim.expression(lonCol.cast("float")),
       ColumnShim.expression(secCol.cast("long")))
     df.select(ColumnShim.column(e).as("bin"))
+  }
+
+  /** BIN viewer ingest — the read half of [[toBin]]: 16-byte LE records
+    * decoded back to (id_hash, lat, lon, sec) columns. */
+  def fromBin(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val rec = ColumnShim.column(graft.functions.BinDecode(
+      ColumnShim.expression(col(binCol))))
+    df.select(rec.as("__r")).select(
+      col("__r.id_hash").as("id_hash"), col("__r.lat").as("lat"),
+      col("__r.lon").as("lon"), col("__r.sec").as("sec"))
   }
 
   /** Fixed-width ingest (reference S8, FixedWidthConverters): offset/length

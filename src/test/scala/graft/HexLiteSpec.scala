@@ -97,33 +97,65 @@ class HexLiteSpec extends SparkSpec {
   test("SQL-fragment parity: OracleMirror.hexIdSql matches HexEncode bit-for-bit") {
     // the oracle's DuckDB fragment evaluated by Spark SQL must equal the
     // codegen'd kernel on the full fixture (both engines run IEEE doubles
-    // through the identical op sequence, so Spark parity ⇒ DuckDB parity)
-    Seq(0, 2, 5, 9).foreach { res =>
-      val mism = WebPages.pages(spark, sfDir)
-        .selectExpr("lon", "lat", s"${OracleMirror.hexIdSql("lon", "lat", res)} AS sql_id")
-        .withColumn("kernel_id", st.hexEncode(col("lon"), col("lat"), lit(res)))
-        .filter(col("sql_id") =!= col("kernel_id"))
-        .count()
-      assert(mism === 0, s"res $res")
+    // through the identical op sequence, so Spark parity ⇒ DuckDB parity).
+    // whole-stage codegen OFF for the mirror side: the test-only mega-
+    // fragment overflows janino's 64 KB method limit and would silently
+    // fall back to interpreted eval with an InternalCompilerException in
+    // the log — running it interpreted on purpose keeps the log clean and
+    // the production-plan codegen assertion (below) honest
+    withSqlConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      Seq(0, 2, 5, 9).foreach { res =>
+        val mism = WebPages.pages(spark, sfDir)
+          .selectExpr("lon", "lat", s"${OracleMirror.hexIdSql("lon", "lat", res)} AS sql_id")
+          .withColumn("kernel_id", st.hexEncode(col("lon"), col("lat"), lit(res)))
+          .filter(col("sql_id") =!= col("kernel_id"))
+          .count()
+        assert(mism === 0, s"res $res")
+      }
     }
   }
 
   test("SQL-fragment parity: rollup CTE chain matches hexParent(hexEncode)") {
-    val (qf5, rf5) = OracleMirror.hexAxialSql("lon", "lat", 5)
-    val (qd5, rd5) = OracleMirror.hexRoundedSql("qf", "rf")
-    val u = OracleMirror.hexScaleLit(3)
-    val (q2, r2) = OracleMirror.hexRoundedSql(s"(qd * $u)", s"(rd * $u)")
-    val pages = WebPages.pages(spark, sfDir)
-    pages.createOrReplaceTempView("__hex_pages")
-    val sql = spark.sql(
-      s"""WITH ax AS (SELECT doc_id, $qf5 AS qf, $rf5 AS rf FROM __hex_pages),
-         |rd AS (SELECT doc_id, $qd5 AS qd, $rd5 AS rd FROM ax)
-         |SELECT doc_id, ${OracleMirror.hexPackSql(q2, r2, 2)} AS sql_parent FROM rd""".stripMargin)
-    val kernel = pages.select(col("doc_id"),
-      st.hexParent(st.hexEncode(col("lon"), col("lat"), lit(5)), lit(2)).as("kernel_parent"))
-    val mism = sql.join(kernel, "doc_id")
-      .filter(col("sql_parent") =!= col("kernel_parent")).count()
-    assert(mism === 0)
+    // interpreted-mode mirror evaluation — same rationale as above
+    withSqlConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val (qf5, rf5) = OracleMirror.hexAxialSql("lon", "lat", 5)
+      val (qd5, rd5) = OracleMirror.hexRoundedSql("qf", "rf")
+      val u = OracleMirror.hexScaleLit(3)
+      val (q2, r2) = OracleMirror.hexRoundedSql(s"(qd * $u)", s"(rd * $u)")
+      val pages = WebPages.pages(spark, sfDir)
+      pages.createOrReplaceTempView("__hex_pages")
+      val sql = spark.sql(
+        s"""WITH ax AS (SELECT doc_id, $qf5 AS qf, $rf5 AS rf FROM __hex_pages),
+           |rd AS (SELECT doc_id, $qd5 AS qd, $rd5 AS rd FROM ax)
+           |SELECT doc_id, ${OracleMirror.hexPackSql(q2, r2, 2)} AS sql_parent FROM rd""".stripMargin)
+      val kernel = pages.select(col("doc_id"),
+        st.hexParent(st.hexEncode(col("lon"), col("lat"), lit(5)), lit(2)).as("kernel_parent"))
+      val mism = sql.join(kernel, "doc_id")
+        .filter(col("sql_parent") =!= col("kernel_parent")).count()
+      assert(mism === 0)
+    }
+  }
+
+  test("production hex plans codegen cleanly — no janino fallback") {
+    // fallback=false turns any codegen failure into a hard error instead of
+    // a silent interpreted downgrade: the production hex_encode/hex_parent
+    // expressions (compact kernel calls, unlike the mirror mega-fragments)
+    // must compile inside whole-stage codegen
+    withSqlConf("spark.sql.codegen.fallback" -> "false",
+        "spark.sql.codegen.wholeStage" -> "true") {
+      val df = WebPages.pages(spark, sfDir)
+        .withColumn("h5", st.hexEncode(col("lon"), col("lat"), lit(5)))
+        .groupBy(st.hexParent(col("h5"), lit(2)).as("p"))
+        .agg(count(lit(1)).as("n"))
+      assert(df.collect().nonEmpty)
+      // codegen stages render as "*(n) Node" in the FINAL adaptive plan
+      val finalPlan = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==")(0)
+      assert(finalPlan.contains("*("),
+        s"hex aggregate must run inside whole-stage codegen:\n${finalPlan.take(2000)}")
+    }
   }
 
   test("containsJoinHex matches the exact contains join (broadcast and salted)") {

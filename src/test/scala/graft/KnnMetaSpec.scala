@@ -112,6 +112,28 @@ class KnnMetaSpec extends SparkSpec {
       "the brute branch must collapse to an empty relation")
   }
 
+  test("resolved-set computation reuses the ranked exchange (min, not first)") {
+    import spark.implicits._
+    // same all-resolve fixture as the brute-elision test: rung 1 ranks all
+    // candidates, then the resolution test aggregates the SAME ranked frame.
+    // Because every aggregate is deterministic (min(__bnd), not first()),
+    // the window's shuffle exchange must be REUSED by the resolved-set
+    // subtree instead of recomputing the join+window from the leaves —
+    // first() is a non-deterministic aggregate and silently blocked reuse
+    val centers = Seq((1L, 0.1, 0.1), (2L, 50.2, 10.3), (3L, -120.4, -30.2))
+    val qs = centers.toDF("qid", "clon", "clat")
+    val pts = centers.flatMap { case (q, lon, lat) =>
+      (0 until 10).map(i => (q * 100 + i, lon + i * 0.01, lat + i * 0.008))
+    }.toDF("doc_id", "lon", "lat")
+    val df = SpatialJoin.knnJoin(qs, "qid", "clon", "clat",
+      pts, "lon", "lat", "doc_id", 5, res = 4)
+    assert(df.collect().length === 3 * 5)
+    val finalPlan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"ranked exchange must be reused by the resolution test:\n${finalPlan.take(3000)}")
+  }
+
   test("ladder fallback: fine start resolution re-probes coarser before brute force") {
     val ctrs = WebPages.nationCenters(spark, sfDir).select("n_nationkey", "clon", "clat")
     val pts = WebPages.pages(spark, sfDir).select("doc_id", "lon", "lat")
