@@ -45,11 +45,23 @@ object Dedup {
   private def isBig(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(SmallCorpusBytes)
 
-  /** Materialize a compact derived frame per the object-doc policy. */
+  /** Materialize a compact derived frame per the object-doc policy. Small
+    * inputs use a LAZY persist: the fan-out branches still read cached
+    * blocks, but no eager checkpoint job runs up front (measured best of
+    * {eager localCheckpoint, lazy localCheckpoint, no materialization,
+    * lazy persist} on the sf0.1 fixture). */
   private def compactFrame(df: DataFrame, big: Boolean): DataFrame =
     if (!big) df.persist()
     else if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** A small corpus usually arrives in ONE scan partition (a sub-128MB
+    * parquet file), so the signature pass — the pipeline's only
+    * CPU-heavy expression — would run as a single serial task. Spread it
+    * across the cores first: the shuffle moves only the small corpus
+    * bytes. Big inputs already have partitions and pass through. */
+  private def spreadSmall(df: DataFrame, big: Boolean): DataFrame =
+    if (big) df else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact duplicate groups by content hash: (text_hash, keeper_id, n). */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -102,7 +114,8 @@ object Dedup {
     // branches (banding, group sizes, expansion), and every branch — plus
     // every broadcast build — would otherwise re-scan the corpus and
     // re-hash every document (measured: 4-5 full corpus passes)
-    val base = compactFrame(df.select(col(idName).as("id"), h.as("__h"),
+    val base = compactFrame(spreadSmall(df, big)
+      .select(col(idName).as("id"), h.as("__h"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
       .select(col("id"), col("__h"),
         when(element_at(col("__sig"), 1) =!= lit(Long.MaxValue),
@@ -165,7 +178,8 @@ object Dedup {
     // one corpus pass, materialized per the object-doc policy (32 B/row) —
     // same rationale as minhashPairs: the DAG fans out and every
     // branch/broadcast build would re-scan and re-hash the corpus otherwise
-    val base = compactFrame(df.select(col(idName).as("id"), h.as("__h"),
+    val base = compactFrame(spreadSmall(df, big)
+      .select(col(idName).as("id"), h.as("__h"),
         tx.simhash(col(textName)).as("sig")), big)
     val members = base.select("id", "__h")
     val sigs = base.filter(col("sig") =!= 0L)

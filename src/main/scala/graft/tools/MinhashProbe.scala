@@ -35,7 +35,12 @@ object MinhashProbe {
       println(f"PROBE $name%-28s best=${secs.map(_._1).min}%8.2fs rows=${secs.head._2}")
     }
 
-    val df = WebPages.syntheticDocs(spark, docs, partitions = 128)
+    // MINHASH_PARQUET=<sfDir>: probe the real fixture table instead of the
+    // synthetic generator (the small-file single-partition regime)
+    val df = sys.env.get("MINHASH_PARQUET") match {
+      case Some(dir) => spark.read.parquet(s"$dir/documents.parquet")
+      case None => WebPages.syntheticDocs(spark, docs, partitions = 128)
+    }
 
     // stage 0: signature computation alone (CPU floor)
     time("signatures_only") {
@@ -164,6 +169,8 @@ object MinhashProbe {
             si.numTasks))
         }
       }
+      // warm-up run first so the listener sees steady-state stage times
+      graft.ops.Dedup.minhashPairs(df, "text", "doc_id").count()
       spark.sparkContext.addSparkListener(l)
       val t0 = System.nanoTime()
       val n = graft.ops.Dedup.minhashPairs(df, "text", "doc_id").count()
