@@ -54,6 +54,37 @@ object Ecql {
   /** `df.filter(Ecql.toColumn(f))` convenience. */
   def where(df: DataFrame, filter: String): DataFrame = df.filter(toColumn(filter))
 
+  /**
+   * SQL-surface builder: `cql_filter('<ecql>')` in `spark.sql` text expands
+   * AT ANALYSIS TIME into the parsed predicate tree (the same `St*` /
+   * comparison expressions the Column API builds — the filter string never
+   * survives into the physical plan, so the optimizer rules in
+   * [[graft.plans.SpatialRules]] see ordinary spatial predicates and the
+   * query plans identically to its typed-API equivalent). Column names in
+   * the filter resolve against the enclosing query's scope like any other
+   * attribute reference. The argument must be a string LITERAL — a
+   * per-row filter string has no analysis-time parse and is rejected.
+   */
+  def sqlBuilder(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    if (es.length != 1)
+      throw new EcqlParseException(s"cql_filter takes exactly 1 argument, got ${es.length}", 0)
+    val arg = es.head
+    if (!arg.foldable || arg.dataType != org.apache.spark.sql.types.StringType)
+      throw new EcqlParseException("cql_filter argument must be a string literal", 0)
+    val text = arg.eval() match {
+      case null => throw new EcqlParseException("cql_filter argument must not be null", 0)
+      case s => s.toString
+    }
+    ColumnShim.catalyst(toColumn(text))
+  }
+
+  /** Register `cql_filter` on a live session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cql_filter", sqlBuilder, "built-in")
+
   final class EcqlParseException(msg: String, val pos: Int)
     extends IllegalArgumentException(s"$msg (at position $pos)")
 

@@ -118,8 +118,14 @@ object SpatialRules {
  * build time, or `GraftExtensions.install(spark)` on a live session.
  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     SpatialRules.all.foreach(r => ext.injectOptimizerRule(_ => r))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cql_filter"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.cql.Ecql", "cql_filter"),
+      graft.cql.Ecql.sqlBuilder))
+  }
 }
 
 object GraftExtensions {
@@ -129,6 +135,7 @@ object GraftExtensions {
     graft.functions.tx.register(spark)
     graft.functions.vx.register(spark)
     graft.functions.mx.register(spark)
+    graft.cql.Ecql.register(spark)
     val current = spark.experimental.extraOptimizations
     val missing = SpatialRules.all.filterNot(r => current.exists(_ eq r))
     spark.experimental.extraOptimizations = current ++ missing

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * Eagerly convert a Column to its Catalyst expression tree. Unlike
+   * `expression` (which returns a lazy `ColumnNodeExpression` wrapper that
+   * only DataFrame entry points unwrap), the result is a plain analyzable
+   * tree — required when the expression is returned from a
+   * FunctionRegistry builder, where no unwrapping pass runs.
+   */
+  def catalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -103,6 +103,41 @@ class EcqlSpec extends SparkSpec {
     intercept[Ecql.EcqlParseException](Ecql.toColumn("dtg DURING 2010-07-01T00:00:00Z"))
   }
 
+  test("cql_filter in SQL text expands at analysis time; string gone from the plan") {
+    df.createOrReplaceTempView("ecql_docs")
+    val poly = "POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28))"
+    val got = spark.sql(
+      s"SELECT id FROM ecql_docs WHERE cql_filter('INTERSECTS(geom, $poly)') AND id < 5")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val want = Ecql.where(df, s"INTERSECTS(geom, $poly)").filter(col("id") < 5)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === want && got.nonEmpty)
+    // the filter string is consumed at analysis time — the optimized plan
+    // holds the parsed St* tree, so SpatialRules fire exactly as for the
+    // typed API (no cql_filter call survives)
+    val plan = spark.sql(s"SELECT * FROM ecql_docs WHERE cql_filter('BBOX(geom, 44, 23, 48, 27)')")
+      .queryExecution.optimizedPlan.toString()
+    assert(!plan.toLowerCase.contains("cql_filter"))
+    // attribute + temporal forms work through SQL too
+    val t = spark.sql("SELECT id FROM ecql_docs WHERE " +
+      "cql_filter('dtg DURING 2010-07-01T00:00:00Z/2010-07-31T00:00:00Z')")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(t === Seq(1L))
+  }
+
+  test("cql_filter rejects non-literal args and the documented grammar deviations") {
+    df.createOrReplaceTempView("ecql_docs")
+    // per-row filter strings have no analysis-time parse
+    intercept[Exception](
+      spark.sql("SELECT * FROM ecql_docs WHERE cql_filter(attr)").collect())
+    intercept[Exception](
+      spark.sql("SELECT * FROM ecql_docs WHERE cql_filter('attr = ')").collect())
+    // documented deviations: RELATE, ID, period-duration intervals
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("RELATE(geom, POINT (0 0), 'T*****FF*')"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("ID '42'"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("dtg DURING 2010-07-01T00:00:00Z/P1D"))
+  }
+
   test("string escaping: doubled quote inside literal") {
     import spark.implicits._
     val d = Seq((1L, "it's"), (2L, "its")).toDF("id", "s")

@@ -36,6 +36,7 @@ object SparkSpec {
     graft.functions.tx.register(s)
     graft.functions.vx.register(s)
     graft.functions.mx.register(s)
+    graft.cql.Ecql.register(s)
     s
   }
 }
