@@ -501,6 +501,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
           min("lon").as("min_lon"), max("lat").as("max_lat"))
     }),
+    "q_gml_roundtrip" -> ((s, dir) => {
+      // GML 2 export (reference S10 GmlExport) → re-extract fid/coords →
+      // box filter + agg, the q_geojson_roundtrip pattern: Double.toString
+      // shortest-repr casts back to the same double, the oracle aggregates
+      // the ORIGINAL parquet doubles
+      graft.sources.IngestExport.toGml(
+          pages(s, dir).select("doc_id", "geom"), "geom", "doc_id")
+        .select(
+          regexp_extract(col("feature"), "fid=\"([^\"]+)\"", 1).cast("long").as("doc_id"),
+          regexp_extract(col("feature"), "<gml:coordinates>([^,]+),", 1).cast("double").as("lon"),
+          regexp_extract(col("feature"), ",([^<]+)</gml:coordinates>", 1).cast("double").as("lat"))
+        .filter(col("lon") > -80.0 && col("lon") < -70.0 &&
+          col("lat") > 35.0 && col("lat") < 45.0)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+          min("lon").as("min_lon"), max("lat").as("max_lat"))
+    }),
     "q_bin_roundtrip" -> ((s, dir) => {
       // BIN viewer export (reference F6: 16-byte LE records) → decode →
       // agg; lat/lon pass through a float32 round-trip (IEEE
@@ -568,8 +584,128 @@ object SparkEntry {
       s.table(sink).filter(col("alive"))
         .select(col("id"), col("lon"), col("lat"), col("tsMillis").as("ts_millis"))
         .orderBy("id")
+    }),
+    "q_liveview_window" -> ((s, dir) => {
+      // TTL view + bbox on the live window (reference T1/T3: Guava
+      // expireAfterWrite read-side visibility + the quadtree BBOX query),
+      // driven through the same REAL StreamingQuery as q_liveview_upsert;
+      // the oracle is the batch latest-per-id window with the same TTL and
+      // box conditions (integer lon/lat/millis — no FP ambiguity)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.LiveView
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("string").as("id"),
+          ((col("event_id") * 7) % 360 - 180).cast("double").as("lon"),
+          ((col("event_id") * 11) % 170 - 85).cast("double").as("lat"),
+          unix_millis(col("ts").cast("timestamp")).as("tsMillis"),
+          when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+        .as[LiveView.FeatureEvent].collect()
+      val input = MemoryStream[LiveView.FeatureEvent]
+      input.addData(evs.toSeq)
+      val sink = s"q_liveview_win_${liveviewRuns.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try LiveView.liveState(input.toDS()).writeStream
+          .format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try { q.processAllAvailable() } finally q.stop()
+      val asOf = evs.iterator.map(_.tsMillis).max // fixture metadata, not operator work
+      val live = s.table(sink).as[LiveView.LiveFeature]
+      LiveView.bboxView(LiveView.withTtl(live, LiveViewTtlMillis, asOf),
+          -120.0, -60.0, 120.0, 60.0)
+        .select(col("id"), col("lon"), col("lat"), col("tsMillis").as("ts_millis"))
+        .orderBy("id")
+    }),
+    "q_world_elide" -> ((s, dir) => {
+      // whole-world BBOX (reference P6: filter.isFilterWholeWorld →
+      // Filter.INCLUDE): the optimizer elides the predicate to a null check
+      // (plan asserted in SpatialRulesSpec); this gate proves the elided
+      // query still returns exactly the base aggregate end-to-end
+      val world = st.makeBox(lit(-180.0), lit(-90.0), lit(180.0), lit(90.0))
+      pages(s, dir).filter(st.intersects(world, col("geom")))
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+    "q_idl_bbox" -> ((s, dir) => {
+      // antimeridian-crossing BBOX (reference P5,
+      // getInternationalDateLineSafeGeometry): xmin > xmax wraps across
+      // ±180 and splits into two boxes; edges on +0.0005 half-steps so no
+      // point sits on a boundary (coords have 1/1000-degree granularity)
+      SpatialJoin.bboxFilter(pages(s, dir), col("geom"),
+          170.0005, -20.0005, -170.0005, 20.0005)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_geom_fns" -> ((s, dir) => {
+      // geometry-function tier (reference F2) e2e on integer-coordinate
+      // geometries, where every JTS computation is FP-exact (integer
+      // shoelace sums, even-dimension centroids, 3-4-5 segment lengths,
+      // disjoint-union areas), so plain-SQL arithmetic is a bit-exact
+      // oracle — same trick as the roundtrip gates
+      val n = s.read.parquet(s"$dir/nation.parquet").selectExpr("n_nationkey",
+        s"$GFX0 AS x0", s"$GFY0 AS y0", s"$GFW AS w", s"$GFH AS h", s"$GFK AS k")
+      val boxWkt = expr("concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, ', ', " +
+        "x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))')")
+      val box2Wkt = expr("concat('POLYGON ((', x0+100, ' ', y0, ', ', x0+100+w, ' ', y0, ', ', " +
+        "x0+100+w, ' ', y0+h, ', ', x0+100, ' ', y0+h, ', ', x0+100, ' ', y0, '))')")
+      val lineWkt = expr("concat('LINESTRING (', x0, ' ', y0, ', ', x0+3*k, ' ', y0+4*k, ', ', " +
+        "x0+6*k, ' ', y0+8*k, ')')")
+      n.withColumn("g", st.geomFromWKT(boxWkt))
+        .withColumn("g2", st.geomFromWKT(box2Wkt))
+        .withColumn("l", st.geomFromWKT(lineWkt))
+        .select(col("n_nationkey"),
+          st.area(col("g")).as("area"),
+          st.lengthGeom(col("g")).as("perim"),
+          st.x(st.centroid(col("g"))).as("cx"),
+          st.y(st.centroid(col("g"))).as("cy"),
+          st.xmin(st.envelope(col("g"))).as("exmin"),
+          st.ymax(st.envelope(col("g"))).as("eymax"),
+          st.lengthGeom(col("l")).as("line_len"),
+          st.geometryType(col("g")).as("gtype"),
+          st.area(st.unionGeom(col("g"), col("g2"))).as("union_area"),
+          st.distance(col("g"), col("g2")).as("dist"))
+        .orderBy("n_nationkey")
+    }),
+    "q_dms_roundtrip" -> ((s, dir) => {
+      // DMS round-trip (reference F9, csv/DMS.scala): deg → "dd:mm:ss.ssH"
+      // → deg; the oracle reproduces the format+parse arithmetic exactly
+      // (round to centiseconds, integer split, same-order IEEE rebuild)
+      pages(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          tx.dmsToDeg(tx.degToDms(col("lat"), lit(true))).as("lat_q"),
+          tx.dmsToDeg(tx.degToDms(col("lon"), lit(false))).as("lon_q"))
+        .orderBy("doc_id")
+    }),
+    "q_track_bins" -> ((s, dir) => {
+      // track time-binning (reference W4, TubeBuilder.timeBinAndUnion):
+      // ntile over a UNIQUE time key (event_id) so the bin assignment is
+      // deterministic in both engines; the FP-sum-order-dependent centroid
+      // columns are computed but not gated
+      val ev = s.read.parquet(s"$dir/events.parquet").selectExpr(
+        "event_id % 5 AS tid", s"$T_LON AS t_lon", s"$T_LAT AS t_lat",
+        "event_id AS t_sec")
+      graft.sources.IngestExport.binTrack(ev, "tid", "t_lon", "t_lat", "t_sec", 8)
+        .select("tid", "bin", "t_min", "t_max", "n_points")
+        .orderBy("tid", "bin")
     })
   )
+
+  // ---- q_geom_fns integer-geometry derivations (shared with the oracle:
+  // pure int64 arithmetic, identical in Spark and DuckDB) ----
+  private val GFX0 = "(-120 + (n_nationkey % 12) * 19)"
+  private val GFY0 = "(-60 + (n_nationkey % 6) * 21)"
+  private val GFW = "(2 * (1 + (n_nationkey % 5)))"
+  private val GFH = "(2 * (1 + (n_nationkey % 4)))"
+  private val GFK = "(1 + (n_nationkey % 3))"
+
+  /** 12-hour TTL for the live-window gate: at every shipped sf the TTL
+    * both EVICTS and KEEPS ids (sf0.01: 43 of 57 survive) — a longer TTL
+    * would be vacuous because each user's latest event clusters near the
+    * end of the 30-day fixture window. */
+  val LiveViewTtlMillis: Long = 12L * 3600 * 1000
 
   /** Brute-force rank margin for the ANN containment gates. */
   val AnnMargin = 30
@@ -968,6 +1104,14 @@ object SparkEntry {
          |  MIN(lon) AS min_lon, MAX(lat) AS max_lat
          |FROM pages
          |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0""".stripMargin,
+    "q_gml_roundtrip" ->
+      // same aggregate as the GeoJSON gate: the GML text round-trip must
+      // reproduce the original doubles bit-exactly
+      s"""WITH $CTE_PAGES
+         |SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+         |  MIN(lon) AS min_lon, MAX(lat) AS max_lat
+         |FROM pages
+         |WHERE lon > -80e0 AND lon < -70e0 AND lat > 35e0 AND lat < 45e0""".stripMargin,
     "q_bin_roundtrip" ->
       // sec rides the record as int32, lat/lon as float32: the oracle
       // applies the same narrowing casts to the original doubles
@@ -1003,6 +1147,85 @@ object SparkEntry {
          |  CAST((event_id * 11) % 170 - 85 AS DOUBLE) AS lat,
          |  epoch_ms(ts) AS ts_millis
          |FROM latest WHERE rn = 1 AND event_type <> 'error'
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+    "q_liveview_window" ->
+      // latest-per-id live view, read through a 15-day write-TTL as of the
+      // max event time, windowed to the [-120,120]x[-60,60] box (T1 read
+      // semantics + T3 bbox-on-live-window); all comparisons are int64
+      s"""WITH latest AS (
+         |  SELECT user_id, event_id, event_type, ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+         |  FROM events),
+         |mx AS (SELECT MAX(epoch_ms(ts)) AS asof FROM events)
+         |SELECT CAST(user_id AS VARCHAR) AS id,
+         |  CAST((event_id * 7) % 360 - 180 AS DOUBLE) AS lon,
+         |  CAST((event_id * 11) % 170 - 85 AS DOUBLE) AS lat,
+         |  epoch_ms(ts) AS ts_millis
+         |FROM latest, mx WHERE rn = 1 AND event_type <> 'error'
+         |  AND mx.asof - epoch_ms(ts) <= ${LiveViewTtlMillis}
+         |  AND ((event_id * 7) % 360 - 180) BETWEEN -120 AND 120
+         |  AND ((event_id * 11) % 170 - 85) BETWEEN -60 AND 60
+         |ORDER BY id""".stripMargin,
+    "q_world_elide" ->
+      // the whole-world box selects everything: the oracle simply drops it
+      s"""WITH $CTE_PAGES
+         |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+         |FROM pages GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_idl_bbox" ->
+      // the wrapped window is the union of (170.0005,180] and [-180,-170.0005)
+      s"""WITH $CTE_PAGES
+         |SELECT doc_id FROM pages
+         |WHERE (lon > 1700005e-4 OR lon < -1700005e-4)
+         |  AND lat > -200005e-4 AND lat < 200005e-4
+         |ORDER BY doc_id""".stripMargin,
+    "q_geom_fns" ->
+      // integer-coordinate geometries: every JTS result the engine computes
+      // (shoelace area, perimeter, even-dimension centroid, envelope,
+      // 3-4-5 line length, disjoint-union area, axis-gap distance) is
+      // FP-exact, so int64 arithmetic reproduces it bit-for-bit
+      s"""WITH geoms AS (SELECT n_nationkey,
+         |  $GFX0 AS x0, $GFY0 AS y0, $GFW AS w, $GFH AS h, $GFK AS k FROM nation)
+         |SELECT n_nationkey,
+         |  CAST(w * h AS DOUBLE) AS area,
+         |  CAST(2 * (w + h) AS DOUBLE) AS perim,
+         |  x0 + w / 2e0 AS cx,
+         |  y0 + h / 2e0 AS cy,
+         |  CAST(x0 AS DOUBLE) AS exmin,
+         |  CAST(y0 + h AS DOUBLE) AS eymax,
+         |  CAST(10 * k AS DOUBLE) AS line_len,
+         |  'Polygon' AS gtype,
+         |  CAST(2 * w * h AS DOUBLE) AS union_area,
+         |  CAST(100 - w AS DOUBLE) AS dist
+         |FROM geoms ORDER BY n_nationkey""".stripMargin,
+    "q_dms_roundtrip" ->
+      // deg → "dd:mm:ss.ssH" → deg equals: round to centiseconds
+      // (floor(x+0.5), matching java Math.round), integer-split to d/m/s,
+      // rebuild in the parser's exact IEEE order d + (m + s/60)/60; values
+      // reaching the hemisphere bound parse to NULL (reference DMS throws,
+      // the expression is SQL-null-idiomatic)
+      s"""WITH $CTE_PAGES,
+         |c AS (SELECT doc_id, lat, lon,
+         |  CAST(FLOOR(ABS(lat) * 36e2 * 1e2 + 5e-1) AS BIGINT) AS clat,
+         |  CAST(FLOOR(ABS(lon) * 36e2 * 1e2 + 5e-1) AS BIGINT) AS clon
+         |  FROM pages WHERE doc_id < 200),
+         |v AS (SELECT doc_id, lat, lon,
+         |  (clat // 360000) + ((clat % 360000) // 6000 + ((clat % 6000) / 1e2) / 6e1) / 6e1 AS vlat,
+         |  (clon // 360000) + ((clon % 360000) // 6000 + ((clon % 6000) / 1e2) / 6e1) / 6e1 AS vlon
+         |  FROM c)
+         |SELECT doc_id,
+         |  CASE WHEN vlat >= 9e1 THEN NULL
+         |       ELSE (CASE WHEN lat >= 0e0 THEN 1e0 ELSE -1e0 END) * vlat END AS lat_q,
+         |  CASE WHEN vlon >= 18e1 THEN NULL
+         |       ELSE (CASE WHEN lon >= 0e0 THEN 1e0 ELSE -1e0 END) * vlon END AS lon_q
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q_track_bins" ->
+      // ntile over the unique event_id time key — identical bucket
+      // allocation rule (first n%b buckets get one extra row) in both
+      s"""WITH ev AS (SELECT event_id % 5 AS tid, event_id AS t_sec FROM events),
+         |binned AS (SELECT tid, t_sec,
+         |  NTILE(8) OVER (PARTITION BY tid ORDER BY t_sec) AS bin FROM ev)
+         |SELECT tid, bin, MIN(t_sec) AS t_min, MAX(t_sec) AS t_max,
+         |  COUNT(*) AS n_points
+         |FROM binned GROUP BY tid, bin ORDER BY tid, bin""".stripMargin
   )
 }

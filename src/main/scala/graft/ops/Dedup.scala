@@ -49,11 +49,29 @@ object Dedup {
     * inputs use a LAZY persist: the fan-out branches still read cached
     * blocks, but no eager checkpoint job runs up front (measured best of
     * {eager localCheckpoint, lazy localCheckpoint, no materialization,
-    * lazy persist} on the sf0.1 fixture). */
-  private def compactFrame(df: DataFrame, big: Boolean): DataFrame =
-    if (!big) df.persist()
-    else if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    * lazy persist} on the sf0.1 fixture).
+    *
+    * Big inputs default to PERSIST as well: the columnar cache stores
+    * compressed batches, so on a multi-executor topology the fan-out
+    * branches that land on other executors fetch compact column bytes —
+    * the eager `localCheckpoint` alternative stores raw row objects whose
+    * remote reads pay full per-row deserialization, measured to HALVE the
+    * 1→4-executor scaling efficiency of the whole pipeline (0.47 vs ~0.9
+    * for every individual sub-stage; BENCH/CLUSTER.md r4). Override with
+    * `spark.graft.dedup.materialize` = persist | localCheckpoint |
+    * checkpoint (reliable; requires `sparkContext.setCheckpointDir`,
+    * executor-loss-safe — the right choice for long multi-hour runs). */
+  private def compactFrame(df: DataFrame, big: Boolean): DataFrame = {
+    if (!big) return df.persist()
+    val mode = df.sparkSession.conf.getOption("spark.graft.dedup.materialize")
+      .getOrElse(if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        "checkpoint" else "persist")
+    mode match {
+      case "checkpoint" => df.checkpoint(true)
+      case "localCheckpoint" => df.localCheckpoint(true)
+      case _ => df.persist()
+    }
+  }
 
   /** A small corpus usually arrives in ONE scan partition (a sub-128MB
     * parquet file), so the signature pass — the pipeline's only

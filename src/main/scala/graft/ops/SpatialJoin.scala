@@ -535,4 +535,21 @@ object SpatialJoin {
       .filter(col("rank") <= k)
       .drop("__dist2")
   }
+
+  /**
+   * BBOX filter with antimeridian wrap (reference P5:
+   * getInternationalDateLineSafeGeometry, GeohashUtils.scala:665-721):
+   * `xmin > xmax` means the window crosses ±180 and splits into two
+   * disjoint boxes OR'd together. Both branches go through the St*
+   * predicates, so the whole-world-elision and range-pushdown optimizer
+   * rules see ordinary spatial conjuncts.
+   */
+  def bboxFilter(df: DataFrame, geom: Column,
+                 xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame =
+    if (xmin <= xmax)
+      df.filter(st.intersects(st.makeBox(lit(xmin), lit(ymin), lit(xmax), lit(ymax)), geom))
+    else
+      df.filter(
+        st.intersects(st.makeBox(lit(xmin), lit(ymin), lit(180.0), lit(ymax)), geom) ||
+        st.intersects(st.makeBox(lit(-180.0), lit(ymin), lit(xmax), lit(ymax)), geom))
 }

@@ -16,11 +16,15 @@ object MinhashProbe {
   def main(args: Array[String]): Unit = {
     val docs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cores = args.lift(1).map(_.toInt).getOrElse(8)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+    // under spark-submit (e.g. --master local-cluster[4,2,6144]) keep the
+    // launcher's master/partitions so the probe can diagnose process-
+    // isolated executor topologies too; standalone runs use local[cores]
+    val base = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (sys.props.contains("spark.master")) base
+      else base.master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

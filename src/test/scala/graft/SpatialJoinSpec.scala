@@ -132,6 +132,26 @@ class SpatialJoinSpec extends SparkSpec {
     assert(run(8, false) === reference)
   }
 
+  test("bboxFilter wraps the antimeridian: xmin > xmax splits into two boxes") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 175.0, 0.0),   // east side of the wrap
+      (2L, -175.0, 0.0),  // west side of the wrap
+      (3L, 0.0, 0.0),     // outside (middle of the world)
+      (4L, 175.0, 30.0),  // right lon, above the lat window
+      (5L, 169.0, 0.0),   // just outside the east edge
+      (6L, -169.0, 0.0))  // just outside the west edge
+      .toDF("id", "lon", "lat")
+      .withColumn("geom", graft.functions.st.point(col("lon"), col("lat")))
+    val got = graft.ops.SpatialJoin.bboxFilter(pts, col("geom"), 170.0, -20.0, -170.0, 20.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+    // non-crossing boxes keep plain single-box semantics
+    val plain = graft.ops.SpatialJoin.bboxFilter(pts, col("geom"), -1.0, -1.0, 1.0, 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain === Set(3L))
+  }
+
   test("hotCells flags the planted city clusters at coarse resolution") {
     // 30% of pages sit in three 2x2-degree hot spots (WebPages geoparse) -
     // with a low threshold the sample histogram must surface them
