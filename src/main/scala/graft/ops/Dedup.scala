@@ -134,8 +134,9 @@ object Dedup {
     // re-hash every document (measured: 4-5 full corpus passes)
     val base = compactFrame(spreadSmall(df, big)
       .select(col(idName).as("id"), h.as("__h"),
+        (if (big) lit(null).cast("string") else col(textName)).as("__text"),
         tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
-      .select(col("id"), col("__h"),
+      .select(col("id"), col("__h"), col("__text"),
         when(element_at(col("__sig"), 1) =!= lit(Long.MaxValue),
           tx.lshBands(col("__sig"), lit(rowsPerBand))).as("__bands")), big)
     val members = base.select("id", "__h")
@@ -147,33 +148,54 @@ object Dedup {
     // aggregate in Spark, which blocks exchange reuse, so the self-join
     // below would compute the whole sig→collapse→band subtree TWICE
     // (measured 2.5x wall on the full pipeline); min over the struct is
-    // deterministic (id is unique) and keeps ReusedExchange eligible
+    // deterministic (id is unique) and keeps ReusedExchange eligible.
+    // Small corpora carry the text through the collapse (id is the struct's
+    // leading field, so min() never compares text bytes) — see below.
     val reps = banded.groupBy("__h")
-      .agg(min(struct(col("id"), col("__bands"))).as("__m"))
-      .select(col("__m.id").as("rid"), col("__m.__bands").as("__bands"))
+      .agg(min(struct(col("id"), col("__bands"), col("__text"))).as("__m"))
+      .select(col("__m.id").as("rid"), col("__m.__bands").as("__bands"),
+        col("__m.__text").as("__rtext"))
     // the band shuffle (the pipeline's dominant exchange at scale — the
     // window count AND both self-join sides repartition on `band`) carries
     // ONLY (band:long, rid:long): the 16-byte group hash is functionally
     // determined by rid and is re-attached AFTER candidate generation from
     // the compact cached frame — halving the exchange bytes vs shipping
     // __h through it (the r3 process-isolated scaling runs measured this
-    // join shuffle-volume-bound)
-    val bands = reps.select(col("rid"), explode(col("__bands")).as("band"))
-    val guarded = bands
-      .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
-      .filter(col("__bc") <= maxBucket).drop("__bc")
-    val candidates = guarded.as("a").join(guarded.as("b"),
-        col("a.band") === col("b.band") && col("a.rid") < col("b.rid"))
-      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
-      .dropDuplicates("rid_a", "rid_b")
-    // texts re-join ONLY for the (typically tiny) surviving candidate set
-    val texts = df.select(col(idName).as("__tid"), col(textName).as("__text"))
-    val repPairs = candidates
-      .join(texts, col("rid_a") === col("__tid")).withColumnRenamed("__text", "text_a").drop("__tid")
-      .join(texts, col("rid_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
-      .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
-      .filter(col("jaccard") >= threshold)
-      .select(col("rid_a"), col("rid_b"), col("jaccard"))
+    // join shuffle-volume-bound). SMALL corpora instead carry the text
+    // itself through the band shuffle: the two text re-join stages (each a
+    // serial broadcast build + exchange) dominate small-input latency, and
+    // a few hundred docs × 8 bands of text bytes cost nothing to shuffle.
+    val repPairs = if (big) {
+      val bands = reps.select(col("rid"), explode(col("__bands")).as("band"))
+      val guarded = bands
+        .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
+        .filter(col("__bc") <= maxBucket).drop("__bc")
+      val candidates = guarded.as("a").join(guarded.as("b"),
+          col("a.band") === col("b.band") && col("a.rid") < col("b.rid"))
+        .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
+        .dropDuplicates("rid_a", "rid_b")
+      // texts re-join ONLY for the (typically tiny) surviving candidate set
+      val texts = df.select(col(idName).as("__tid"), col(textName).as("__text"))
+      candidates
+        .join(texts, col("rid_a") === col("__tid")).withColumnRenamed("__text", "text_a").drop("__tid")
+        .join(texts, col("rid_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
+        .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
+        .filter(col("jaccard") >= threshold)
+        .select(col("rid_a"), col("rid_b"), col("jaccard"))
+    } else {
+      val bands = reps.select(col("rid"), col("__rtext"), explode(col("__bands")).as("band"))
+      val guarded = bands
+        .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
+        .filter(col("__bc") <= maxBucket).drop("__bc")
+      // jaccard is functionally determined by (rid_a, rid_b), so computing
+      // it before the dedupe is deterministic
+      guarded.as("a").join(guarded.as("b"),
+          col("a.band") === col("b.band") && col("a.rid") < col("b.rid"))
+        .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
+          tx.ngramJaccard(col("a.__rtext"), col("b.__rtext"), lit(shingle)).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .dropDuplicates("rid_a", "rid_b")
+    }
     // multi-member groups come straight off the materialized compact frame
     // (group members are byte-identical, so any member's bandability flag
     // is the group's) — a 24-byte-row group-by over cached blocks, never a
@@ -220,22 +242,40 @@ object Dedup {
       shiftright(col("rsig"), b * 16).bitwiseAND(lit(0xffffL))
         .bitwiseOR(lit(b.toLong << 16))
     }: _*)
-    val blocks = reps.select(col("rid"), explode(blockArr).as("block"))
+    // big corpora slim the block shuffle to (block, rid) and re-attach the
+    // signature via two equi-joins on the tiny reps frame; SMALL corpora
+    // carry the 8-byte rsig through the shuffle instead — the two join
+    // stages (each a serial broadcast build + exchange) dominate small-
+    // input latency, and doubling a 16-byte row on 500 docs costs nothing
+    val blocks =
+      if (big) reps.select(col("rid"), explode(blockArr).as("block"))
+      else reps.select(col("rid"), col("rsig"), explode(blockArr).as("block"))
     val guarded = blocks
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy("block")))
       .filter(col("__bc") <= maxBucket).drop("__bc")
     // one rep per group hash ⇒ (rid_a, rid_b) dedupe ≡ the old (ha, hb) one
-    val candidates = guarded.as("a").join(guarded.as("b"),
-        col("a.block") === col("b.block") && col("a.rid") < col("b.rid"))
-      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
-      .dropDuplicates("rid_a", "rid_b")
-    val lut = reps
-    val repPairs = candidates
-      .join(lut.select(col("rid").as("rid_a"), col("rsig").as("sig_a")), Seq("rid_a"))
-      .join(lut.select(col("rid").as("rid_b"), col("rsig").as("sig_b")), Seq("rid_b"))
-      .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("rid_a", "rid_b", "hamming")
+    val repPairs = if (big) {
+      val candidates = guarded.as("a").join(guarded.as("b"),
+          col("a.block") === col("b.block") && col("a.rid") < col("b.rid"))
+        .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
+        .dropDuplicates("rid_a", "rid_b")
+      val lut = reps
+      candidates
+        .join(lut.select(col("rid").as("rid_a"), col("rsig").as("sig_a")), Seq("rid_a"))
+        .join(lut.select(col("rid").as("rid_b"), col("rsig").as("sig_b")), Seq("rid_b"))
+        .withColumn("hamming", tx.hamming(col("sig_a"), col("sig_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select("rid_a", "rid_b", "hamming")
+    } else {
+      // hamming is functionally determined by (rid_a, rid_b), so computing
+      // it before the dedupe is deterministic
+      guarded.as("a").join(guarded.as("b"),
+          col("a.block") === col("b.block") && col("a.rid") < col("b.rid"))
+        .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
+          tx.hamming(col("a.rsig"), col("b.rsig")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("rid_a", "rid_b")
+    }
     val multiHashes = multiGroupHashes(
       base.select(col("__h"), (col("sig") =!= 0L).as("__ok")), big)
     expandGroups(members, multiHashes, repPairs, "hamming", lit(0), big)
