@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
  * so the planner's spatial-join/pushdown rules see the same `St*` expression
  * trees the typed API builds — ECQL queries plan identically to Column ones.
  *
+ * Also supported: `RELATE(g, <wkt>, 'DE-9IM')` and period durations in
+ * DURING (`t1/P1D`, `PT2H/t2`, calendar parts applied in UTC).
+ *
  * Deviations from GeoTools ECQL (documented, not accidental): no arithmetic
- * expressions inside comparisons, no `RELATE`/`ID`/period-duration (`T1/P1D`)
- * forms — none appear in the reference's corpus.
+ * expressions inside comparisons, no `ID` filters (feature-id addressing is
+ * the record-id scan `q_id_lookup` surface instead) — neither appears in
+ * the reference's corpus.
  */
 object Ecql {
 
@@ -202,7 +206,24 @@ object Ecql {
       else if (tok.kind == Tok.Ident && SpatialBinary.contains(tok.text.toUpperCase)) spatialBinary()
       else if (isKw("BBOX")) bbox()
       else if (isKw("DWITHIN") || isKw("BEYOND")) dwithin()
+      else if (isKw("RELATE")) relate()
       else comparison()
+    }
+
+    /** `RELATE(prop, <wkt>, 'DE-9IM pattern')` → JTS relate. */
+    private def relate(): Column = {
+      advance() // RELATE
+      expect(Tok.LParen, "(")
+      val prop = col(expect(Tok.Ident, "property name"))
+      expect(Tok.Comma, ",")
+      val g = geometryLiteral()
+      expect(Tok.Comma, ",")
+      val patPos = tok.pos
+      val pat = expect(Tok.Str, "DE-9IM pattern")
+      if (!pat.matches("[012TF*]{9}"))
+        fail("DE-9IM pattern must be 9 characters of [012TF*]", patPos)
+      expect(Tok.RParen, ")")
+      st.relate(prop, g, lit(pat))
     }
 
     private def spatialBinary(): Column = {
@@ -301,6 +322,32 @@ object Ecql {
 
     private def tsLit(text: String, at: Int): Column = lit(parseInstant(text, at))
 
+    /** Shift an instant by an ISO-8601 duration (calendar part applied in
+      * UTC — P1M over a month boundary follows java.time calendar rules,
+      * matching GeoTools' UTC-anchored period arithmetic). */
+    private def shiftInstant(t: Instant, iso: String, sign: Int, at: Int): Instant =
+      try {
+        val up = iso.toUpperCase
+        if (!up.startsWith("P")) fail(s"bad ISO-8601 duration '$iso'", at)
+        val ti = up.indexOf('T')
+        val (datePart, timePart) =
+          if (ti < 0) (up, "") else (up.substring(0, ti), "P" + up.substring(ti))
+        var z = t.atZone(ZoneOffset.UTC)
+        if (datePart.length > 1) { // more than the bare "P"
+          val p = java.time.Period.parse(datePart)
+          z = if (sign > 0) z.plus(p) else z.minus(p)
+        }
+        if (timePart.nonEmpty) {
+          val d = java.time.Duration.parse(timePart)
+          z = if (sign > 0) z.plus(d) else z.minus(d)
+        }
+        if (datePart.length <= 1 && timePart.isEmpty) fail(s"empty duration '$iso'", at)
+        z.toInstant
+      } catch {
+        case e: EcqlParseException => throw e
+        case _: Exception => fail(s"bad ISO-8601 duration '$iso'", at)
+      }
+
     private def parseInstant(text: String, at: Int): Timestamp =
       try {
         if (text.endsWith("Z") || text.contains("+") || text.lastIndexOf('-') > 9)
@@ -328,14 +375,31 @@ object Ecql {
         return if (negated) prop.isNotNull else prop.isNull
       }
       if (acceptKw("DURING")) {
-        // capture the instant's own position BEFORE expect() advances past
-        // it, so a malformed instant reports itself, not the next token
+        // OGC During (strict interior) over a period: t1/t2, t1/duration,
+        // or duration/t2 (ISO-8601 durations, e.g. P1D, PT2H30M, P1Y2MT3H).
+        // Capture each operand's own position BEFORE expect() advances past
+        // it, so a malformed operand reports itself, not the next token.
+        if (tok.kind == Tok.Ident) { // duration/t2
+          val p1 = tok.pos
+          val durText = expect(Tok.Ident, "ISO-8601 duration")
+          expect(Tok.Slash, "/")
+          val p2 = tok.pos
+          val t2 = parseInstant(expect(Tok.DateTime, "ISO instant"), p2)
+          val t1 = shiftInstant(t2.toInstant, durText, sign = -1, p1)
+          return prop > lit(Timestamp.from(t1)) && prop < lit(t2)
+        }
         val p1 = tok.pos
-        val t1 = tsLit(expect(Tok.DateTime, "ISO instant"), p1)
+        val t1 = parseInstant(expect(Tok.DateTime, "ISO instant"), p1)
         expect(Tok.Slash, "/")
+        if (tok.kind == Tok.Ident) { // t1/duration
+          val p2 = tok.pos
+          val durText = expect(Tok.Ident, "ISO-8601 duration")
+          val t2 = shiftInstant(t1.toInstant, durText, sign = 1, p2)
+          return prop > lit(t1) && prop < lit(Timestamp.from(t2))
+        }
         val p2 = tok.pos
         val t2 = tsLit(expect(Tok.DateTime, "ISO instant"), p2)
-        return prop > t1 && prop < t2 // OGC During: strict interior
+        return prop > lit(t1) && prop < t2 // OGC During: strict interior
       }
       if (acceptKw("BEFORE")) return prop < value()
       if (acceptKw("AFTER")) return prop > value()

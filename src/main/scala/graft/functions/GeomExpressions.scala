@@ -92,6 +92,19 @@ case class StDWithinDeg(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** DE-9IM pattern predicate (reference ECQL RELATE,
+ *  geomesa-core/.../filter/FilterUtils; delegates to JTS relate). */
+case class StRelate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    GeomRT.relatePattern(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], p.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, p) => s"${RT.C}.relatePattern($a, $b, $p.toString())")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** geom × geom → double. */
 abstract class GeomBinaryDouble(fn: String) extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType

@@ -90,6 +90,10 @@ object GeomRT {
   def area(a: Array[Byte]): Double = GeomCodec.fromWkb(a).getArea
   def length(a: Array[Byte]): Double = GeomCodec.fromWkb(a).getLength
 
+  /** DE-9IM pattern test (the ECQL RELATE predicate; JTS relate). */
+  def relatePattern(a: Array[Byte], b: Array[Byte], pattern: String): Boolean =
+    GeomCodec.fromWkb(a).relate(GeomCodec.fromWkb(b), pattern)
+
   // ---- constructors / transforms ----
   def point(lon: Double, lat: Double): Array[Byte] = GeomCodec.toWkb(GeomCodec.point(lon, lat))
   def makeBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =

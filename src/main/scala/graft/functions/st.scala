@@ -33,6 +33,7 @@ object st {
   def equalsGeom(a: Column, b: Column): Column = col(StEquals(ex(a), ex(b)))
   def dwithin(a: Column, b: Column, meters: Column): Column = col(StDWithin(ex(a), ex(b), ex(meters)))
   def dwithinDeg(a: Column, b: Column, deg: Column): Column = col(StDWithinDeg(ex(a), ex(b), ex(deg)))
+  def relate(a: Column, b: Column, pattern: Column): Column = col(StRelate(ex(a), ex(b), ex(pattern)))
 
   def distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def distanceSphere(a: Column, b: Column): Column = col(StDistanceSphere(ex(a), ex(b)))
@@ -121,6 +122,7 @@ object st {
     f2("st_equals", StEquals)
     f3("st_dwithin", StDWithin)
     f3("st_dwithin_deg", StDWithinDeg)
+    f3("st_relate", StRelate)
     f2("st_distance", StDistance)
     f2("st_distance_sphere", StDistanceSphere)
     f2("st_distance_spheroid", StDistanceSpheroid)

@@ -132,10 +132,34 @@ class EcqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter(attr)").collect())
     intercept[Exception](
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter('attr = ')").collect())
-    // documented deviations: RELATE, ID, period-duration intervals
-    intercept[Ecql.EcqlParseException](Ecql.toColumn("RELATE(geom, POINT (0 0), 'T*****FF*')"))
+    // documented deviations: ID filters, arithmetic in comparisons
     intercept[Ecql.EcqlParseException](Ecql.toColumn("ID '42'"))
-    intercept[Ecql.EcqlParseException](Ecql.toColumn("dtg DURING 2010-07-01T00:00:00Z/P1D"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("score = 1 + 2"))
+  }
+
+  test("RELATE evaluates DE-9IM patterns through st_relate") {
+    // contains-style pattern: geom (a point) within the polygon interior
+    val poly = "POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28))"
+    assert(ids(s"RELATE(geom, $poly, 'T*F**F***')") === Seq(1L)) // within
+    // intersects-style pattern matches the same row
+    assert(ids(s"RELATE(geom, $poly, 'T********')") === Seq(1L))
+    // malformed pattern rejected with position
+    intercept[Ecql.EcqlParseException](
+      Ecql.toColumn(s"RELATE(geom, $poly, 'TT')"))
+  }
+
+  test("DURING accepts ISO-8601 period durations on either side") {
+    // t1/duration: 30 days from July 1 — same window as the instant form
+    assert(ids("dtg DURING 2010-07-01T00:00:00Z/P30D") === Seq(1L))
+    // duration/t2: 30 days back from July 31
+    assert(ids("dtg DURING P30D/2010-07-31T00:00:00Z") === Seq(1L))
+    // time-part durations and mixed calendar+time parts parse
+    assert(ids("dtg DURING 2010-07-09T23:00:00Z/PT25H") === Seq(1L))
+    assert(ids("dtg DURING 2010-06-30T00:00:00Z/P1MT1H") === Seq(1L, 3L))
+    // garbage duration rejected with its own position
+    val e = intercept[Ecql.EcqlParseException](
+      Ecql.toColumn("dtg DURING 2010-07-01T00:00:00Z/P1X"))
+    assert(e.getMessage.contains("duration"))
   }
 
   test("string escaping: doubled quote inside literal") {
