@@ -653,8 +653,13 @@ object SparkEntry {
         "x0+100+w, ' ', y0+h, ', ', x0+100, ' ', y0+h, ', ', x0+100, ' ', y0, '))')")
       val lineWkt = expr("concat('LINESTRING (', x0, ' ', y0, ', ', x0+3*k, ' ', y0+4*k, ', ', " +
         "x0+6*k, ' ', y0+8*k, ')')")
-      n.withColumn("g", st.geomFromWKT(boxWkt))
+      // g3 shifts by 1 (k=1: overlaps g, since w >= 2) or by 100 (disjoint)
+      val box3Wkt = expr("concat('POLYGON ((', x0+s, ' ', y0, ', ', x0+s+w, ' ', y0, ', ', " +
+        "x0+s+w, ' ', y0+h, ', ', x0+s, ' ', y0+h, ', ', x0+s, ' ', y0, '))')")
+      n.withColumn("s", expr("CASE WHEN k = 1 THEN 1 ELSE 100 END"))
+        .withColumn("g", st.geomFromWKT(boxWkt))
         .withColumn("g2", st.geomFromWKT(box2Wkt))
+        .withColumn("g3", st.geomFromWKT(box3Wkt))
         .withColumn("l", st.geomFromWKT(lineWkt))
         .select(col("n_nationkey"),
           st.area(col("g")).as("area"),
@@ -666,7 +671,8 @@ object SparkEntry {
           st.lengthGeom(col("l")).as("line_len"),
           st.geometryType(col("g")).as("gtype"),
           st.area(st.unionGeom(col("g"), col("g2"))).as("union_area"),
-          st.distance(col("g"), col("g2")).as("dist"))
+          st.distance(col("g"), col("g2")).as("dist"),
+          st.relate(col("g"), col("g3"), lit("T********")).as("rel"))
         .orderBy("n_nationkey")
     }),
     "q_dms_roundtrip" -> ((s, dir) => {
@@ -1195,7 +1201,8 @@ object SparkEntry {
          |  CAST(10 * k AS DOUBLE) AS line_len,
          |  'Polygon' AS gtype,
          |  CAST(2 * w * h AS DOUBLE) AS union_area,
-         |  CAST(100 - w AS DOUBLE) AS dist
+         |  CAST(100 - w AS DOUBLE) AS dist,
+         |  (k = 1) AS rel
          |FROM geoms ORDER BY n_nationkey""".stripMargin,
     "q_dms_roundtrip" ->
       // deg → "dd:mm:ss.ssH" → deg equals: round to centiseconds

@@ -56,27 +56,43 @@ object LayoutRehearsal {
       "hot_paris" -> (1.0, 47.5, 3.8, 50.2),
       "cold_ocean" -> (-45.0, -45.0, -40.0, -40.0))
 
-    case class Scan(label: String, files: Long, bytes: Long, rowsOut: Long, sec: Double)
+    case class Scan(label: String, files: Long, bytes: Long, readMB: Double,
+                    rowsOut: Long, sec: Double)
     def runScan(label: String, df: org.apache.spark.sql.DataFrame,
                 x0: Double, y0: Double, x1: Double, y1: Double): Scan = {
       // exact refine on top of whichever pruning the source provides
       val q = df.filter(col("lon") >= x0 && col("lon") <= x1 &&
         col("lat") >= y0 && col("lat") <= y1)
+      // execute THIS QueryExecution (df.count() would build a new one and
+      // leave the scan node's metrics unpopulated) and accumulate the task
+      // input metrics — bytes actually read shows row-group pruning inside
+      // surviving files, which the listing-time filesSize metric cannot
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val qe = q.queryExecution
       val t = System.nanoTime()
-      val n = q.count()
+      val n = qe.toRdd.count()
       val sec = (System.nanoTime() - t) / 1e9
-      // post-execution: the scan node's metrics hold the post-pruning file
-      // count and size (AQE wraps the plan; unwrap to find the scan)
+      Thread.sleep(500) // drain the listener bus (private API) before reading
+      spark.sparkContext.removeSparkListener(listener)
+      // post-execution: the scan node's metrics hold the post-partition-
+      // pruning file count and size (AQE wraps the plan; unwrap to find it)
       def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
         p match {
           case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
           case f: FileSourceScanExec => Seq(f)
           case other => other.children.flatMap(scans)
         }
-      val ss = scans(q.queryExecution.executedPlan)
+      val ss = scans(qe.executedPlan)
       val files = ss.map(s => s.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
       val bytes = ss.map(s => s.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum
-      Scan(label, files, bytes, n, sec)
+      Scan(label, files, bytes, bytesRead.get / 1e6, n, sec)
     }
 
     val lines = new StringBuilder
@@ -84,8 +100,8 @@ object LayoutRehearsal {
     lines ++= f"Write: $rows%d rows at bucketRes=$bucketRes → ${manifest.size}%d buckets, " +
       f"$totalFiles%d files, ${totalBytes / 1e6}%.0f MB in $writeSec%.1f s " +
       f"(${rows / writeSec}%.0f rows/s).\n\n"
-    lines ++= "| query box | path | files read | MB read | rows out | sec |\n"
-    lines ++= "|---|---|---|---|---|---|\n"
+    lines ++= "| query box | path | files listed | MB listed | MB read | rows out | sec |\n"
+    lines ++= "|---|---|---|---|---|---|---|\n"
     boxes.foreach { case (label, (x0, y0, x1, y1)) =>
       // pruned: bucket partition pruning + fine-cell BETWEEN ranges
       val pruned = runScan(s"$label pruned",
@@ -98,12 +114,14 @@ object LayoutRehearsal {
       require(pruned.rowsOut == full.rowsOut,
         s"pruned/full row mismatch for $label: ${pruned.rowsOut} vs ${full.rowsOut}")
       Seq(pruned, full).foreach { s =>
-        lines ++= f"| $label | ${s.label.split(' ').last} | ${s.files}%d | ${s.bytes / 1e6}%.1f | ${s.rowsOut}%d | ${s.sec}%.2f |\n"
+        lines ++= f"| $label | ${s.label.split(' ').last} | ${s.files}%d | ${s.bytes / 1e6}%.1f | ${s.readMB}%.1f | ${s.rowsOut}%d | ${s.sec}%.2f |\n"
       }
     }
     lines ++= "\nRow counts match between pruned and full paths (asserted). " +
-      "`files read`/`MB read` are the parquet scan node's post-pruning metrics; " +
-      "row-group pruning inside surviving files shows up as the sec gap.\n"
+      "`files/MB listed` are the parquet scan node's post-partition-pruning " +
+      "listing metrics (bucket-dir pruning); `MB read` is the summed task " +
+      "input bytes — the additional gap vs `MB listed` is row-group " +
+      "min/max pruning on the sorted fine-cell key inside surviving files.\n"
     Files.write(Paths.get(report), lines.toString.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     print(lines)
