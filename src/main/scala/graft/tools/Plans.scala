@@ -13,6 +13,9 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // match the driver's Verify session — without the extensions the audit
+    // shows pre-optimizer-rule plans (no elision/pushdown/join rewrites)
+    graft.plans.GraftExtensions.install(spark)
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_st_contains_join", "q_st_dwithin_join", "q_knn", "q_tube_select",
