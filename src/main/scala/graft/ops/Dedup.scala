@@ -41,9 +41,16 @@ object Dedup {
 
   /** True when the plan's estimated size crosses [[SmallCorpusBytes]];
     * unknown-size sentinels (LocalRelation, post-join frames) count as big —
-    * the safe direction, matching pre-r4 behavior. */
+    * the safe direction, matching pre-r4 behavior.
+    * `spark.graft.dedup.sizeClass` = big | small overrides the estimate —
+    * a test seam (the small/big paths must agree; DedupGuardRecallSpec
+    * asserts parity) that also lets operators pin a path in production. */
   private def isBig(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(SmallCorpusBytes)
+    df.sparkSession.conf.getOption("spark.graft.dedup.sizeClass") match {
+      case Some("big") => true
+      case Some("small") => false
+      case _ => df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(SmallCorpusBytes)
+    }
 
   /** Materialize a compact derived frame per the object-doc policy. Small
     * inputs use a LAZY persist: the fan-out branches still read cached

@@ -162,4 +162,26 @@ class DedupGuardRecallSpec extends SparkSpec {
       .select(graft.functions.vx.lshKey($"embedding", lit(12))).head().getLong(0)
     assert(driverKey === execKey)
   }
+
+  test("minhash/simhash small and big code paths produce identical pairs") {
+    // the pipelines fork on corpus size (small: payload rides the candidate
+    // shuffle; big: slim shuffle + re-attach joins + heavier
+    // materialization) — both paths must answer identically. The fixture
+    // mixes exact-dup groups (expansion path), near-dups, and uniques.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairsWith(sizeClass: String, fn: () => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      spark.conf.set("spark.graft.dedup.sizeClass", sizeClass)
+      try fn().select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.dedup.sizeClass")
+    }
+    def mh() = graft.ops.Dedup.minhashPairs(docs, "text", "doc_id")
+    def sh() = graft.ops.Dedup.simhashPairs(docs, "text", "doc_id")
+    val mhSmall = pairsWith("small", mh _)
+    val mhBig = pairsWith("big", mh _)
+    assert(mhSmall === mhBig && mhSmall.nonEmpty)
+    val shSmall = pairsWith("small", sh _)
+    val shBig = pairsWith("big", sh _)
+    assert(shSmall === shBig && shSmall.nonEmpty)
+  }
 }
