@@ -40,23 +40,27 @@ import org.apache.spark.sql.functions._
  * DURING (`t1/P1D`, `PT2H/t2`, calendar parts applied in UTC).
  *
  * Deviations from GeoTools ECQL (documented, not accidental): no arithmetic
- * expressions inside comparisons, no `ID` filters (feature-id addressing is
- * the record-id scan `q_id_lookup` surface instead) — neither appears in
- * the reference's corpus.
+ * expressions inside comparisons — it does not appear in the reference's
+ * corpus. Feature-ID filters (the bare `IN('id1','id2')` form, which the
+ * reference's corpus DOES use in its idPredicates section) compile to a
+ * membership test on `idColumn` (default `fid`) cast to string — the
+ * DataFrame analog of `SimpleFeature.getID` addressing.
  */
 object Ecql {
 
   /** Parse an ECQL filter into a boolean Column. Throws
-    * [[EcqlParseException]] with position on malformed input. */
-  def toColumn(filter: String): Column = {
-    val p = new Parser(filter)
+    * [[EcqlParseException]] with position on malformed input. `idColumn`
+    * names the column the bare-`IN` feature-ID filter tests. */
+  def toColumn(filter: String, idColumn: String = "fid"): Column = {
+    val p = new Parser(filter, idColumn)
     val c = p.parseOr()
     p.expectEof()
     c
   }
 
   /** `df.filter(Ecql.toColumn(f))` convenience. */
-  def where(df: DataFrame, filter: String): DataFrame = df.filter(toColumn(filter))
+  def where(df: DataFrame, filter: String, idColumn: String = "fid"): DataFrame =
+    df.filter(toColumn(filter, idColumn))
 
   /**
    * SQL-surface builder: `cql_filter('<ecql>')` in `spark.sql` text expands
@@ -72,16 +76,19 @@ object Ecql {
   def sqlBuilder(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.graftshim.ColumnShim
-    if (es.length != 1)
-      throw new EcqlParseException(s"cql_filter takes exactly 1 argument, got ${es.length}", 0)
-    val arg = es.head
-    if (!arg.foldable || arg.dataType != org.apache.spark.sql.types.StringType)
-      throw new EcqlParseException("cql_filter argument must be a string literal", 0)
-    val text = arg.eval() match {
-      case null => throw new EcqlParseException("cql_filter argument must not be null", 0)
-      case s => s.toString
+    if (es.isEmpty || es.length > 2)
+      throw new EcqlParseException(s"cql_filter takes 1-2 arguments, got ${es.length}", 0)
+    def litText(arg: org.apache.spark.sql.catalyst.expressions.Expression, what: String): String = {
+      if (!arg.foldable || arg.dataType != org.apache.spark.sql.types.StringType)
+        throw new EcqlParseException(s"cql_filter $what must be a string literal", 0)
+      arg.eval() match {
+        case null => throw new EcqlParseException(s"cql_filter $what must not be null", 0)
+        case s => s.toString
+      }
     }
-    ColumnShim.catalyst(toColumn(text))
+    val text = litText(es.head, "filter argument")
+    val idCol = es.lift(1).map(litText(_, "id-column argument")).getOrElse("fid")
+    ColumnShim.catalyst(toColumn(text, idCol))
   }
 
   /** Register `cql_filter` on a live session's function registry. */
@@ -112,7 +119,7 @@ object Ecql {
     "FEET" -> 0.3048, "STATUTE MILES" -> 1609.344, "NAUTICAL MILES" -> 1852.0,
     "MILES" -> 1609.344)
 
-  private final class Parser(input: String) {
+  private final class Parser(input: String, idColumn: String = "fid") {
     private var pos = 0
     private var tok: Token = _
     advance()
@@ -207,7 +214,22 @@ object Ecql {
       else if (isKw("BBOX")) bbox()
       else if (isKw("DWITHIN") || isKw("BEYOND")) dwithin()
       else if (isKw("RELATE")) relate()
+      else if (isKw("IN")) idFilter()
       else comparison()
+    }
+
+    /** Bare `IN('id1','id2')` — the GeoTools feature-ID filter (the
+      * reference corpus' idPredicates): membership on the configured id
+      * column, compared as strings (feature ids are strings). A property
+      * IN-list goes through [[comparison]] (`prop IN (...)` — the property
+      * name precedes the keyword, so the two forms never collide). */
+    private def idFilter(): Column = {
+      advance() // IN
+      expect(Tok.LParen, "(")
+      val ids = scala.collection.mutable.ArrayBuffer(expect(Tok.Str, "feature id string"))
+      while (tok.kind == Tok.Comma) { advance(); ids += expect(Tok.Str, "feature id string") }
+      expect(Tok.RParen, ")")
+      col(idColumn).cast("string").isin(ids.toSeq: _*)
     }
 
     /** `RELATE(prop, <wkt>, 'DE-9IM pattern')` → JTS relate. */

@@ -132,9 +132,29 @@ class EcqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter(attr)").collect())
     intercept[Exception](
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter('attr = ')").collect())
-    // documented deviations: ID filters, arithmetic in comparisons
+    // documented deviations: arithmetic in comparisons, the `ID '…'` form
+    // (the corpus' feature-ID syntax is the bare IN(...), supported below)
     intercept[Ecql.EcqlParseException](Ecql.toColumn("ID '42'"))
     intercept[Ecql.EcqlParseException](Ecql.toColumn("score = 1 + 2"))
+  }
+
+  test("bare IN(...) is the feature-ID filter on the configured id column") {
+    // fid defaults to column `fid`; the spec frame uses `id`
+    val got = Ecql.where(df, "IN('1','3') OR attr = 'value'", idColumn = "id")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(1L, 3L, 4L))
+    // composes with other predicates, reference-corpus shape
+    val got2 = Ecql.where(df,
+      "IN('1','2') AND dtg DURING 2010-07-01T00:00:00Z/2010-07-31T00:00:00Z",
+      idColumn = "id").select("id").collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq(1L))
+    // property-IN still routes through the comparison branch
+    assert(ids("attr IN ('val17', 'val56')") === Seq(1L, 2L))
+    // SQL surface: optional second literal names the id column
+    df.createOrReplaceTempView("ecql_docs")
+    val sqlGot = spark.sql("SELECT id FROM ecql_docs WHERE cql_filter('IN(''5'')', 'id')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sqlGot === Seq(5L))
   }
 
   test("RELATE evaluates DE-9IM patterns through st_relate") {
@@ -160,6 +180,28 @@ class EcqlSpec extends SparkSpec {
     val e = intercept[Ecql.EcqlParseException](
       Ecql.toColumn("dtg DURING 2010-07-01T00:00:00Z/P1X"))
     assert(e.getMessage.contains("duration"))
+  }
+
+  test("every filter in the reference's TestFilters corpus parses") {
+    // the reference's own ECQL test corpus (geomesa-core/src/test/.../
+    // filter/TestFilters.scala) — every plain string entry must parse.
+    // Interpolated entries (the s"DWITHIN...$i..." loops) are covered by
+    // the concrete dwithinPointPredicates entries.
+    val path = "/root/reference/geomesa-core/src/test/scala/" +
+      "org/locationtech/geomesa/core/filter/TestFilters.scala"
+    val src = scala.io.Source.fromFile(path)
+    val text = try src.mkString finally src.close()
+    // join `"..." +\n"..."` scala string concatenations before extracting
+    val joined = text.replaceAll("\"\\s*\\+\\s*\\n\\s*\"", "")
+    val re = """(?m)^\s*"([^"]+)",?\s*(//.*)?$""".r
+    val filters = re.findAllMatchIn(joined).map(_.group(1)).toList
+    assert(filters.size >= 100, s"corpus extraction too small: ${filters.size}")
+    val failures = filters.flatMap { f =>
+      try { Ecql.toColumn(f); None }
+      catch { case e: Exception => Some(s"$f -> ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, s"${failures.size} corpus filters failed:\n" +
+      failures.take(10).mkString("\n"))
   }
 
   test("string escaping: doubled quote inside literal") {
