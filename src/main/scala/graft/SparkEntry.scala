@@ -1155,7 +1155,8 @@ object SparkEntry {
          |FROM latest WHERE rn = 1 AND event_type <> 'error'
          |ORDER BY id""".stripMargin,
     "q_liveview_window" ->
-      // latest-per-id live view, read through a 15-day write-TTL as of the
+      // latest-per-id live view, read through a 12-hour write-TTL (the
+      // LiveViewTtlMillis constant interpolated below) as of the
       // max event time, windowed to the [-120,120]x[-60,60] box (T1 read
       // semantics + T3 bbox-on-live-window); all comparisons are int64
       s"""WITH latest AS (

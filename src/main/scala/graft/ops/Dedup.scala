@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
  * Materialization policy (all compact per-doc frames go through
  * [[compactFrame]]): small inputs use a LAZY persist (no extra job — the
  * eager-checkpoint constant dominated small-corpus latency); large inputs
- * use an eager checkpoint so the fan-out DAG and every broadcast build read
- * cached blocks instead of re-scanning the corpus 4-5×. `localCheckpoint`
- * truncates lineage, so ON A REAL CLUSTER an executor loss mid-query fails
- * the job instead of recomputing — callers that need fault tolerance set
- * `sparkContext.setCheckpointDir(...)` and the same frames are RELIABLY
- * checkpointed to that shared filesystem instead (lineage-free AND
- * executor-loss-safe). Blocks are freed by the ContextCleaner when the
- * frames are GC'd.
+ * ALSO default to a lazy persist — the columnar cache ships compressed
+ * batches, where an eager `localCheckpoint`'s raw-row blocks pay full
+ * per-row deserialization on every remote read and measurably halve
+ * multi-executor scaling (BENCH/CLUSTER.md r4). When a reliable checkpoint
+ * dir is set (`sparkContext.setCheckpointDir`), big inputs upgrade to an
+ * eager RELIABLE `checkpoint` instead — lineage-free AND executor-loss-safe,
+ * the right default for long multi-hour cluster runs. Override either
+ * choice with `spark.graft.dedup.materialize` = persist | localCheckpoint |
+ * checkpoint. Blocks are freed by the ContextCleaner when the frames are
+ * GC'd.
  */
 object Dedup {
 
@@ -49,7 +51,10 @@ object Dedup {
     df.sparkSession.conf.getOption("spark.graft.dedup.sizeClass") match {
       case Some("big") => true
       case Some("small") => false
-      case _ => df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(SmallCorpusBytes)
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.dedup.sizeClass: '$other' (expected 'big' or 'small')" +
+          " — failing fast so a typo cannot silently run the other path")
+      case None => df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(SmallCorpusBytes)
     }
 
   /** Materialize a compact derived frame per the object-doc policy. Small
@@ -76,7 +81,11 @@ object Dedup {
     mode match {
       case "checkpoint" => df.checkpoint(true)
       case "localCheckpoint" => df.localCheckpoint(true)
-      case _ => df.persist()
+      case "persist" => df.persist()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedup.materialize: '$other' (expected 'persist'," +
+          " 'localCheckpoint' or 'checkpoint') — failing fast so a typo" +
+          " cannot silently select a different materialization")
     }
   }
 

@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Avro ⇄ Spark schema/value mapping shared by the splittable source and the
+ * [[IngestExport]] wrappers. Primitive fields map to Spark types; a union of
+ * exactly {null, T} maps to nullable T; anything else (multi-branch unions,
+ * records, arrays, maps, enums) lands as its string form — the documented
+ * interchange fallback.
+ */
+private[sources] object AvroSchemaMap {
+
+  def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      // a union of MULTIPLE non-null branches has no single Spark type:
+      // land it as a string rather than guessing the first branch and
+      // class-cast-crashing at runtime
+      if (branches.size == 1) branches.head
+      else Schema.create(Schema.Type.STRING)
+    } else s
+
+  def sparkType(s: Schema): DataType = nonNullBranch(s).getType match {
+    case Schema.Type.STRING => StringType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case _ => StringType // records/arrays/maps/enums: string form
+  }
+
+  def toStructType(avro: Schema): StructType =
+    StructType(avro.getFields.asScala.toSeq.map { f =>
+      StructField(f.name, sparkType(f.schema()), nullable = true)
+    })
+
+  /** Avro runtime value → Catalyst internal value for the mapped type. */
+  def toCatalyst(v: AnyRef, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes()
+    case (x, StringType) => UTF8String.fromString(x.toString)
+    case (x, _) => x // int/long/float/double/boolean box through unchanged
+  }
+}
+
+/**
+ * Splittable Avro container-file source (reference S7,
+ * geomesa-convert-avro/.../AvroSimpleFeatureConverter.scala:30-80 — the
+ * ingest format; geomesa-core AvroFeatureEncoder — the interchange format),
+ * re-expressed as a Spark DataSource V2 batch source:
+ *
+ *   spark.read.format("graft-avro").load(path)
+ *
+ * Scale shape — this is the 100-TB ingest path the `binaryFile` wrapper
+ * couldn't be: each file is cut into byte ranges of
+ * `spark.sql.files.maxPartitionBytes` (override: option `splitBytes`), and
+ * each task seeks to the first Avro SYNC MARKER at-or-after its range start
+ * (`DataFileReader.sync`) and drains blocks until the first sync past its
+ * range end (`pastSync`) — the standard container-splitting contract, so a
+ * 10 GB file becomes ~80 parallel tasks with no coordination and no
+ * whole-file buffering (blocks stream through the decoder one at a time).
+ *
+ * Column pruning is pushed INTO the Avro decoder: the required columns
+ * become a projected READER SCHEMA, so Avro's schema resolution skips the
+ * bytes of unused fields instead of decoding then dropping them
+ * (`SupportsPushDownRequiredColumns`).
+ */
+class AvroSplitSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-avro"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroSchemaMap.toStructType(AvroSplitSource.fileSchema(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new AvroSplitTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object AvroSplitSource {
+
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap(_.split(",").map(_.trim))
+    val all = single ++ multi
+    require(all.nonEmpty, "graft-avro: no 'path' given (use .load(path))")
+    all
+  }
+
+  /** Non-hidden data files under the given paths (a file, or one directory
+    * level — the layout [[IngestExport.writeAvro]] and most Avro producers
+    * emit). */
+  def listFiles(options: CaseInsensitiveStringMap, conf: Configuration): Seq[FileStatus] =
+    paths(options).flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val st = fs.getFileStatus(path)
+      val files = if (st.isDirectory) fs.listStatus(path).toSeq else Seq(st)
+      files.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+
+  /** Embedded writer schema of the first data file (container files carry
+    * their schema in the header). */
+  def fileSchema(options: CaseInsensitiveStringMap): Schema = {
+    val conf = new Configuration()
+    val first = listFiles(options, conf).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-avro: no data files under ${paths(options).mkString(",")}"))
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(first.getPath, conf), new GenericDatumReader[GenericRecord]())
+    try reader.getSchema finally reader.close()
+  }
+}
+
+private[sources] class AvroSplitTable(schema: StructType,
+                                      options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-avro(${AvroSplitSource.paths(options).mkString(",")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(schema, options)
+}
+
+private[sources] class AvroScanBuilder(fullSchema: StructType,
+                                       options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep only names we actually have (Spark passes a subset of schema())
+    required = StructType(requiredSchema.fields.filter(f =>
+      fullSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new AvroScan(fullSchema, required, options)
+}
+
+/** One byte range of one container file; the reader syncs to the first
+  * block boundary at-or-after `start` and stops at the first past `end`. */
+private[sources] case class AvroSplit(path: String, start: Long, end: Long)
+  extends InputPartition
+
+private[sources] class AvroScan(fullSchema: StructType, required: StructType,
+                                options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val splitBytes = Option(options.get("splitbytes")).map(_.toLong)
+      .getOrElse(SQLConf.get.filesMaxPartitionBytes)
+    require(splitBytes > 0, s"graft-avro: splitBytes must be positive")
+    val splits = AvroSplitSource.listFiles(options, conf).flatMap { f =>
+      val len = f.getLen
+      (0L until len by splitBytes).map { off =>
+        AvroSplit(f.getPath.toString, off, math.min(off + splitBytes, len))
+      }
+    }
+    // largest ranges first so stragglers schedule early (same heuristic as
+    // Spark's own FilePartition packing)
+    splits.sortBy(s => -(s.end - s.start)).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required)
+}
+
+private[sources] class AvroReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroSplitReader(partition.asInstanceOf[AvroSplit], required)
+}
+
+private[sources] class AvroSplitReader(split: AvroSplit, required: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val in = new FsInput(new Path(split.path), conf)
+  private val reader: DataFileReader[GenericRecord] = {
+    val datum = new GenericDatumReader[GenericRecord]()
+    val r = new DataFileReader[GenericRecord](in, datum)
+    // prune at the DECODER: a reader schema holding only the required
+    // fields makes Avro's resolver skip (not decode) the other fields'
+    // bytes. Built against the file's own writer schema so field schemas
+    // match exactly whatever the producer wrote.
+    val writer = r.getSchema
+    val keep = required.fieldNames.toSet
+    val fields = writer.getFields.asScala.filter(f => keep(f.name)).map { f =>
+      new Schema.Field(f.name, f.schema, f.doc, f.defaultVal())
+    }
+    val projected = Schema.createRecord(
+      writer.getName, writer.getDoc, writer.getNamespace, writer.isError)
+    projected.setFields(fields.asJava)
+    datum.setExpected(projected)
+    // first sync marker at-or-after the range start; a range beginning
+    // mid-block skips to the next block (its owner is the previous range)
+    r.sync(split.start)
+    r
+  }
+  private val fieldTypes = required.fields.map(_.dataType)
+  private val fieldNames = required.fieldNames
+  private var current: GenericRecord = _
+
+  override def next(): Boolean =
+    if (reader.hasNext && !reader.pastSync(split.end)) {
+      current = reader.next(current)
+      true
+    } else false
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](fieldNames.length)
+    var i = 0
+    while (i < fieldNames.length) {
+      values(i) = AvroSchemaMap.toCatalyst(current.get(fieldNames(i)), fieldTypes(i))
+      i += 1
+    }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+  }
+
+  override def close(): Unit = reader.close() // closes the FsInput too
+}

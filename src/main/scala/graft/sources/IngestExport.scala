@@ -25,78 +25,17 @@ object IngestExport {
 
   /**
    * Avro container-file ingest (reference S7,
-   * geomesa-convert-avro/.../AvroSimpleFeatureConverter.scala): the
-   * environment has the core Avro library but no spark-avro connector, so
-   * files are read whole via the `binaryFile` source and decoded per
-   * partition with `DataFileReader` (RDD decode is the justified
-   * imperative step; everything downstream is DataFrame). Schema comes
-   * from the first file's embedded Avro schema; primitive fields map to
-   * Spark types, anything else lands as its string form. Suited to
-   * many-moderate-files layouts — a splittable connector is the 100-TB
-   * path once available.
+   * geomesa-convert-avro/.../AvroSimpleFeatureConverter.scala): delegates
+   * to the SPLITTABLE [[AvroSplitSource]] DataSource V2 — each file is cut
+   * into `spark.sql.files.maxPartitionBytes` byte ranges and every task
+   * syncs to an Avro block boundary, so one 10 GB container fans out over
+   * the cluster instead of loading whole into one task (the 100-TB ingest
+   * path). Schema comes from the first file's embedded Avro schema;
+   * primitive fields map to Spark types, anything else lands as its string
+   * form ([[AvroSchemaMap]]); column selection prunes at the Avro decoder.
    */
-  def avro(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.avro.Schema
-    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
-    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    import scala.jdk.CollectionConverters._
-
-    def openReader(bytes: Array[Byte]) =
-      new DataFileReader[GenericRecord](new SeekableByteArrayInput(bytes),
-        new GenericDatumReader[GenericRecord]())
-
-    def nonNullBranch(s: Schema): Schema =
-      if (s.getType == Schema.Type.UNION) {
-        val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-        // a union of MULTIPLE non-null branches has no single Spark type:
-        // land it as a string (the documented fallback) rather than
-        // guessing the first branch and class-cast-crashing at runtime
-        if (branches.size == 1) branches.head
-        else Schema.create(Schema.Type.STRING)
-      } else s
-
-    def sparkType(s: Schema): DataType = nonNullBranch(s).getType match {
-      case Schema.Type.STRING => StringType
-      case Schema.Type.INT => IntegerType
-      case Schema.Type.LONG => LongType
-      case Schema.Type.FLOAT => FloatType
-      case Schema.Type.DOUBLE => DoubleType
-      case Schema.Type.BOOLEAN => BooleanType
-      case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
-      case _ => StringType // records/arrays/maps/enums: string form
-    }
-
-    def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
-      case (null, _) => null
-      case (u: org.apache.avro.util.Utf8, StringType) => u.toString
-      case (b: java.nio.ByteBuffer, BinaryType) =>
-        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-      case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes()
-      case (x, StringType) => x.toString
-      case (x, _) => x
-    }
-
-    val bin = spark.read.format("binaryFile").load(path).select("content")
-    val firstBytes = bin.head().getAs[Array[Byte]](0)
-    val avroSchema = { val r = openReader(firstBytes); try r.getSchema finally r.close() }
-    val fields = avroSchema.getFields.asScala.toList.map(f => (f.name, sparkType(f.schema())))
-    val structType = StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
-
-    val rows = bin.rdd.flatMap { r =>
-      val reader = openReader(r.getAs[Array[Byte]](0))
-      try {
-        val out = scala.collection.mutable.ArrayBuffer[Row]()
-        while (reader.hasNext) {
-          val rec = reader.next()
-          out += Row(fields.map { case (n, t) => convert(rec.get(n), t) }: _*)
-        }
-        out.toSeq
-      } finally reader.close()
-    }
-    spark.createDataFrame(rows, structType)
-  }
+  def avro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-avro").load(path)
 
   /** WKT-column ingest: any reader output + st_geomfromwkt projection. */
   def withWktGeometry(df: DataFrame, wktCol: String): DataFrame =

@@ -187,8 +187,12 @@ class EcqlSpec extends SparkSpec {
     // filter/TestFilters.scala) — every plain string entry must parse.
     // Interpolated entries (the s"DWITHIN...$i..." loops) are covered by
     // the concrete dwithinPointPredicates entries.
-    val path = "/root/reference/geomesa-core/src/test/scala/" +
+    val path = sys.props.getOrElse("graft.reference.root", "/root/reference") +
+      "/geomesa-core/src/test/scala/" +
       "org/locationtech/geomesa/core/filter/TestFilters.scala"
+    // cancel (not fail) on machines without the reference checkout — the
+    // sweep is a corpus-compatibility audit, not a unit invariant
+    assume(new java.io.File(path).exists(), s"reference corpus not found at $path")
     val src = scala.io.Source.fromFile(path)
     val text = try src.mkString finally src.close()
     // join `"..." +\n"..."` scala string concatenations before extracting
