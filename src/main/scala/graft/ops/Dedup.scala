@@ -89,13 +89,29 @@ object Dedup {
     }
   }
 
+  /** Partition count for the SMALL path's explicit exchanges. A small
+    * corpus (<64 MB) needs a few partitions for the signature pass's CPU,
+    * but NOT `shuffle.partitions` of them: at 32 partitions the wall is
+    * per-task dispatch overhead × tasks × stages, not work (measured ~0.9 s
+    * of a 2.5 s sf0.1 minhash run). 8 caps dispatch cost while keeping the
+    * only CPU-heavy leg parallel; override: `spark.graft.dedup.smallParts`. */
+  private def smallParts(df: DataFrame): Int = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    math.min(dp, df.sparkSession.conf.getOption("spark.graft.dedup.smallParts")
+      .map(_.toInt).getOrElse(8))
+  }
+
   /** A small corpus usually arrives in ONE scan partition (a sub-128MB
-    * parquet file), so the signature pass — the pipeline's only
-    * CPU-heavy expression — would run as a single serial task. Spread it
-    * across the cores first: the shuffle moves only the small corpus
-    * bytes. Big inputs already have partitions and pass through. */
-  private def spreadSmall(df: DataFrame, big: Boolean): DataFrame =
-    if (big) df else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * parquet file), so the signature pass — the pipeline's only CPU-heavy
+    * expression — would run as a single serial task. Spread it across
+    * [[smallParts]] partitions BY THE GROUP HASH, so every later group-by
+    * on `__h` (rep collapse, multi-group detection) aggregates in place
+    * with no further exchange — the small path's latency is stage/task
+    * dispatch, and this removes both the extra exchanges and the 32-task
+    * fan-out per stage (`byHash` is the group-hash column). Big inputs
+    * already have partitions and pass through. */
+  private def spreadSmall(df: DataFrame, big: Boolean, byHash: Column): DataFrame =
+    if (big) df else df.repartition(smallParts(df), byHash)
 
   /** Exact duplicate groups by content hash: (text_hash, keeper_id, n). */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -148,10 +164,12 @@ object Dedup {
     // branches (banding, group sizes, expansion), and every branch — plus
     // every broadcast build — would otherwise re-scan the corpus and
     // re-hash every document (measured: 4-5 full corpus passes)
-    val base = compactFrame(spreadSmall(df, big)
-      .select(col(idName).as("id"), h.as("__h"),
-        (if (big) lit(null).cast("string") else col(textName)).as("__text"),
-        tx.minhash(col(textName), lit(numHashes), lit(shingle)).as("__sig"))
+    val base = compactFrame(spreadSmall(
+        df.select(col(idName).as("id"), h.as("__h"), col(textName).as("__t0")),
+        big, col("__h"))
+      .select(col("id"), col("__h"),
+        (if (big) lit(null).cast("string") else col("__t0")).as("__text"),
+        tx.minhash(col("__t0"), lit(numHashes), lit(shingle)).as("__sig"))
       .select(col("id"), col("__h"), col("__text"),
         when(element_at(col("__sig"), 1) =!= lit(Long.MaxValue),
           tx.lshBands(col("__sig"), lit(rowsPerBand))).as("__bands")), big)
@@ -199,7 +217,13 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("rid_a"), col("rid_b"), col("jaccard"))
     } else {
+      // explicit smallParts exchanges (band, then pair keys): the window,
+      // BOTH self-join sides and the dedupe group-by all cluster on a
+      // subset of these keys, so Catalyst inserts no further exchange and
+      // no stage fans out to shuffle.partitions tasks — on a 5k-doc corpus
+      // the dispatch overhead of 32-task stages was ~40% of the wall
       val bands = reps.select(col("rid"), col("__rtext"), explode(col("__bands")).as("band"))
+        .repartition(smallParts(df), col("band"))
       val guarded = bands
         .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
         .filter(col("__bc") <= maxBucket).drop("__bc")
@@ -210,6 +234,7 @@ object Dedup {
         .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
           tx.ngramJaccard(col("a.__rtext"), col("b.__rtext"), lit(shingle)).as("jaccard"))
         .filter(col("jaccard") >= threshold)
+        .repartition(smallParts(df), col("rid_a"), col("rid_b"))
         .dropDuplicates("rid_a", "rid_b")
     }
     // multi-member groups come straight off the materialized compact frame
@@ -234,9 +259,10 @@ object Dedup {
     // one corpus pass, materialized per the object-doc policy (32 B/row) —
     // same rationale as minhashPairs: the DAG fans out and every
     // branch/broadcast build would re-scan and re-hash the corpus otherwise
-    val base = compactFrame(spreadSmall(df, big)
-      .select(col(idName).as("id"), h.as("__h"),
-        tx.simhash(col(textName)).as("sig")), big)
+    val base = compactFrame(spreadSmall(
+        df.select(col(idName).as("id"), h.as("__h"), col(textName).as("__t0")),
+        big, col("__h"))
+      .select(col("id"), col("__h"), tx.simhash(col("__t0")).as("sig")), big)
     val members = base.select("id", "__h")
     val sigs = base.filter(col("sig") =!= 0L)
     // identical texts share the signature: collapse to one representative
@@ -265,7 +291,11 @@ object Dedup {
     // input latency, and doubling a 16-byte row on 500 docs costs nothing
     val blocks =
       if (big) reps.select(col("rid"), explode(blockArr).as("block"))
+      // explicit smallParts exchange on the block key — the window and both
+      // self-join sides reuse it (same dispatch-overhead rationale as the
+      // minhash small path)
       else reps.select(col("rid"), col("rsig"), explode(blockArr).as("block"))
+        .repartition(smallParts(df), col("block"))
     val guarded = blocks
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy("block")))
       .filter(col("__bc") <= maxBucket).drop("__bc")
@@ -290,6 +320,7 @@ object Dedup {
         .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
           tx.hamming(col("a.rsig"), col("b.rsig")).as("hamming"))
         .filter(col("hamming") <= maxHamming)
+        .repartition(smallParts(df), col("rid_a"), col("rid_b"))
         .dropDuplicates("rid_a", "rid_b")
     }
     val multiHashes = multiGroupHashes(
@@ -345,8 +376,10 @@ object Dedup {
     // m2 (members of multi-groups) feeds three broadcast builds;
     // materialized so they read cached blocks instead of re-running the
     // semi-join per build (blocks freed on GC)
+    // multiHashes is a group-by output — already distinct; a .distinct()
+    // here would be a whole extra exchange+aggregate for nothing
     val m2 = compactFrame(
-      members.join(multiHashes.distinct(), Seq("__h"), "left_semi"), big)
+      members.join(multiHashes, Seq("__h"), "left_semi"), big)
     val within = m2.as("x").join(m2.as("y"),
         col("x.__h") === col("y.__h") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), withinSim.as(simName))
@@ -370,15 +403,27 @@ object Dedup {
    */
   def clusters(pairs: DataFrame, idAName: String, idBName: String,
                maxIter: Int = 20): DataFrame = {
+    // partition ONCE on the keys every round reuses: edges by dst and
+    // labels by id (the join keys — SMJ then needs no per-round exchange;
+    // the one exchange per round is the groupBy(src)). Small edge sets use
+    // smallParts-many partitions — each round is several stages over an
+    // already-tiny frame, and 32-task dispatch per stage dominated the
+    // wall — big ones the session's shuffle parallelism.
+    val parts =
+      if (isBig(pairs)) pairs.sparkSession.sessionState.conf.numShufflePartitions
+      else smallParts(pairs)
     val edges = pairs.select(col(idAName).as("src"), col(idBName).as("dst"))
       .union(pairs.select(col(idBName).as("src"), col(idAName).as("dst")))
+      .repartition(parts, col("dst"))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = edges.select(col("src").as("id"))
+      .repartition(parts, col("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .repartition(parts, col("src"))
         .groupBy(col("src").as("nid")).agg(min("label").as("nlabel"))
       // the change flag rides INSIDE the eagerly-checkpointed frame, so the
       // convergence probe is a filter over materialized blocks — not a

@@ -1,10 +1,10 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** One-off: where does the SMALL-corpus (sf0.1, 500 docs) dedup latency
-  * go — stage dispatch, exchanges, or the expansion machinery? */
+/** One-off: where does the SMALL-corpus (sf0.1, 5000 docs) dedup latency
+  * go — per-stage wall, task time and task counts for one minhash run. */
 object SmallDedupProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -16,42 +16,33 @@ object SmallDedupProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
-    // warm
-    graft.ops.Dedup.simhashPairs(df, "text", "doc_id").count()
 
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd, SparkListenerStageCompleted}
-    case class J(id: Int, var name: String = "", var t0: Long = 0, var t1: Long = 0, var stages: Int = 0, var tasks: Int = 0)
-    val jobs = scala.collection.mutable.LinkedHashMap[Int, J]()
+    // warm codegen/session
+    graft.ops.Dedup.minhashPairs(df, "text", "doc_id").count()
+    spark.sharedState.cacheManager.clearCache()
+
+    case class S(id: Int, name: String, wallMs: Long, taskMs: Long, tasks: Int,
+                 submitted: Long, completed: Long)
+    val stages = scala.collection.mutable.ArrayBuffer[S]()
     val l = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val j = jobs.getOrElseUpdate(e.jobId, J(e.jobId))
-        j.t0 = e.time
-        j.name = Option(e.properties.getProperty("spark.job.description")).getOrElse("")
-          .take(60)
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        stages += S(i.stageId, i.name.takeWhile(_ != '\n').take(70),
+          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+          i.taskMetrics.executorRunTime, i.numTasks,
+          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L))
       }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        jobs.get(e.jobId).foreach(_.t1 = e.time)
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
     }
-    graft.ops.Dedup.minhashPairs(df, "text", "doc_id").count() // warm
     spark.sparkContext.addSparkListener(l)
     val t0 = System.nanoTime()
-    val n = graft.ops.Dedup.simhashPairs(df, "text", "doc_id").count()
+    val n = graft.ops.Dedup.minhashPairs(df, "text", "doc_id").count()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
-    println(f"SIMHASH wall=$wall%.2f rows=$n jobs=${jobs.size}")
-    jobs.values.foreach { j =>
-      println(f"JOB ${j.id}%3d ${(j.t1 - j.t0) / 1000.0}%6.2fs  ${j.name}")
-    }
-    jobs.clear()
-    val t1 = System.nanoTime()
-    val m = graft.ops.Dedup.minhashPairs(df, "text", "doc_id").count()
-    val wall2 = (System.nanoTime() - t1) / 1e9
-    Thread.sleep(500)
+    Thread.sleep(800)
     spark.sparkContext.removeSparkListener(l)
-    println(f"MINHASH wall=$wall2%.2f rows=$m jobs=${jobs.size}")
-    jobs.values.foreach { j =>
-      println(f"JOB ${j.id}%3d ${(j.t1 - j.t0) / 1000.0}%6.2fs  ${j.name}")
+    println(f"MINHASH wall=$wall%.2f rows=$n stages=${stages.size}")
+    val base = stages.map(_.submitted).min
+    stages.sortBy(_.submitted).foreach { s =>
+      println(f"STG ${s.id}%3d  t+${(s.submitted - base) / 1000.0}%5.2f..${(s.completed - base) / 1000.0}%5.2f  wall=${s.wallMs / 1000.0}%5.2f taskSum=${s.taskMs / 1000.0}%6.2f tasks=${s.tasks}%3d  ${s.name}")
     }
     spark.stop()
   }
