@@ -377,24 +377,33 @@ object SparkEntry {
     // ---- physical layout + ingest tier (reference S1/S5/S6 end-to-end:
     //      the AccumuloDataStoreTest write→query→assert spine) ----
     "q_layout_scan" -> ((s, dir) => {
-      // CellLayout checkpointed write (waves + manifest) → read with coarse
-      // bucket pruning + fine cell ranges → exact refine; the oracle is the
-      // plain bbox filter, so a green row proves the write/prune/read path
-      // returns exactly the base-table answer (no loss, no duplicates)
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_layout_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
-      rmrf(new java.io.File(out))
-      // bucketRes sized to the table (64 world buckets at test sf — the
-      // layout knob a 100-TB table sets to the default 6/4096); read()
-      // infers the written resolution from the manifest
-      val keyed = graft.layout.CellLayout.withCellKeys(
-        pages(s, dir).select("doc_id", "lon", "lat"),
-        col("lon"), col("lat"), col("doc_id"), bucketRes = 3)
-      graft.layout.CellLayout.write(keyed, out, s"$dir/documents.parquet")
+      // READ gate: coarse bucket pruning + fine cell ranges → exact refine
+      // over the once-per-JVM layout ([[layoutFor]] writes it on first
+      // touch); the oracle is the plain bbox filter, so a green row proves
+      // the write/prune/read path returns exactly the base-table answer
+      // (no loss, no duplicates). The WRITE path is timed separately by
+      // q_layout_write so read-path regressions localize.
+      val out = layoutFor(s, dir)
       graft.layout.CellLayout.read(s, out, queryBox = Some((-80.0, 35.0, -70.0, 45.0)))
         .filter(col("lon") > -80.0 && col("lon") < -70.0 &&
           col("lat") > 35.0 && col("lat") < 45.0)
         .select("doc_id").orderBy("doc_id")
+    }),
+    "q_layout_write" -> ((s, dir) => {
+      // WRITE gate: full checkpointed CellLayout write (waves + manifest +
+      // snapshots) into a FRESH dir every run; the returned manifest totals
+      // are oracle-checked (row conservation + the exact res-3 bucket set
+      // cardinality), and the bench timing isolates the write path
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_lwrite_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      rmrf(new java.io.File(out))
+      val keyed = graft.layout.CellLayout.withCellKeys(
+        pages(s, dir).select("doc_id", "lon", "lat"),
+        col("lon"), col("lat"), col("doc_id"), bucketRes = 3)
+      val manifest = graft.layout.CellLayout.write(keyed, out, s"$dir/documents.parquet")
+      import s.implicits._
+      Seq((manifest.valuesIterator.map(_.rows).sum, manifest.size.toLong))
+        .toDF("n_rows", "n_buckets")
     }),
     "q_csv_roundtrip" -> ((s, dir) => {
       // delimited export → re-ingest (schema + geometry derivation) → agg;
@@ -532,15 +541,10 @@ object SparkEntry {
     }),
     "q_layout_stats" -> ((s, dir) => {
       // manifest-only count + bounds estimates (reference A6/A7: record-
-      // table entry count, catalog-metadata bounds — no scan); the oracle
-      // recomputes the same bucket-cell-snapped bounds arithmetically
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_lstats_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
-      rmrf(new java.io.File(out))
-      val keyed = graft.layout.CellLayout.withCellKeys(
-        pages(s, dir).select("doc_id", "lon", "lat"),
-        col("lon"), col("lat"), col("doc_id"), bucketRes = 3)
-      graft.layout.CellLayout.write(keyed, out, s"$dir/documents.parquet")
+      // table entry count, catalog-metadata bounds — no scan) over the
+      // shared once-per-JVM layout; the oracle recomputes the same
+      // bucket-cell-snapped bounds arithmetically
+      val out = layoutFor(s, dir)
       val n = graft.layout.CellLayout.countEstimate(out)
       val (x0, y0, x1, y1) = graft.layout.CellLayout.boundsEstimate(out).get
       import s.implicits._
@@ -717,6 +721,27 @@ object SparkEntry {
   val AnnMargin = 30
 
   private val liveviewRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Once-per-JVM CellLayout write for `dir` (fresh on first touch), shared
+    * by the READ-path gates q_layout_scan/q_layout_stats; q_layout_write
+    * exercises the write path fresh every run. Splitting the two keeps a
+    * write-path regression from masquerading as a read-path one (and vice
+    * versa) in the per-round bench. */
+  private val layoutDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def layoutFor(s: SparkSession, dir: String): String =
+    layoutDirs.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_layout_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      rmrf(new java.io.File(out))
+      // bucketRes sized to the table (64 world buckets at test sf — the
+      // layout knob a 100-TB table sets to the default 6/4096); read()
+      // infers the written resolution from the manifest
+      val keyed = graft.layout.CellLayout.withCellKeys(
+        pages(s, dir).select("doc_id", "lon", "lat"),
+        col("lon"), col("lat"), col("doc_id"), bucketRes = 3)
+      graft.layout.CellLayout.write(keyed, out, s"$dir/documents.parquet")
+      out
+    })
 
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmrf)
@@ -1127,6 +1152,16 @@ object SparkEntry {
          |  CAST(MIN(CAST(lat AS REAL)) AS DOUBLE) AS min_lat,
          |  CAST(MAX(CAST(lon AS REAL)) AS DOUBLE) AS max_lon
          |FROM pages""".stripMargin,
+    "q_layout_write" ->
+      // the write must conserve rows and produce exactly one manifest entry
+      // per occupied res-3 bucket cell (same 8×8 truncate-and-clamp grid as
+      // the q_layout_stats oracle; cx*8+cy is bijective with the Z2 cell)
+      s"""WITH $CTE_PAGES,
+         |cells AS (SELECT
+         |  LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 8) AS BIGINT), 0), 7) * 8 +
+         |  LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 8) AS BIGINT), 0), 7) AS c
+         |  FROM pages)
+         |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT c) AS n_buckets FROM cells""".stripMargin,
     "q_layout_stats" ->
       // bucket grid at res 3: 8×8 cells of 45°×22.5°; the engine's
       // Z2.lonToX/latToY truncate the non-negative scaled coordinate and
