@@ -92,6 +92,37 @@ case class TokenCount(child: Expression) extends UnaryExpression with Serializab
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** shingle_hashes(text, n) → sorted distinct array<long> of word-n-gram
+  * FNV hashes (the ngram_jaccard set, precomputed once per document). */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    new GenericArrayData(TextRT.shingleHashes(
+      t.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextRT.shingleHashes($t.toString(), $n))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** sorted_jaccard(a, b) → double over two shingle_hashes arrays — the same
+  * value ngram_jaccard(textA, textB, n) returns, at merge cost per pair. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextRT.sortedJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextRT.sortedJaccard($a.toLongArray(), $b.toLongArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** ngram_jaccard(a, b, n) → double — exact verify for LSH candidates. */
 case class NgramJaccard(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with Serializable {

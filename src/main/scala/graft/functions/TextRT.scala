@@ -27,8 +27,12 @@ object TextRT {
     z ^ (z >>> 31)
   }
 
+  // precompiled: String.split recompiles a multi-char regex on every call,
+  // and tokens() runs per document in every signature/verify kernel
+  private val TokenSplit = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
   def tokens(text: String): Array[String] =
-    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    TokenSplit.split(text.toLowerCase).filter(_.nonEmpty)
 
   /** MinHash signature over word shingles: sig(i) = min over shingles of
    *  mix64(fnv1a(shingle) + i*GOLDEN). One pass over the text. */
@@ -118,6 +122,52 @@ object TextRT {
     }
     if (fill > 0) { val m = mix64(h); if (m < minH) minH = m }
     minH
+  }
+
+  /** The word-n-gram FNV hash SET of [[ngramJaccard]] as a SORTED distinct
+   *  array — computed ONCE per document so the LSH verify tail can score a
+   *  candidate pair by merging two sorted arrays instead of re-tokenizing
+   *  and re-hashing both texts per pair (a doc in k candidate pairs paid
+   *  the shingling k times; measured as the dominant CPU of the 4M-doc
+   *  pipeline's verify stage). Same gram loop and constants as
+   *  [[ngramJaccard]], so [[sortedJaccard]] over these arrays returns the
+   *  identical double. */
+  def shingleHashes(s: String, n: Int): Array[Long] = {
+    val ts = tokens(s)
+    val set = new java.util.HashSet[Long]()
+    var i = 0
+    while (i <= ts.length - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        val w = ts(i + j); var k = 0
+        while (k < w.length) { h ^= w.charAt(k).toLong; h *= 0x100000001b3L; k += 1 }
+        h ^= ' '.toLong; h *= 0x100000001b3L
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Jaccard of two SORTED distinct hash arrays (the [[shingleHashes]]
+   *  form): |A∩B| / |A∪B| by linear merge — exactly [[ngramJaccard]]'s
+   *  value, including the both-empty ⇒ 1.0 convention. */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
   }
 
   /** Jaccard similarity of word n-gram sets (exact verification step after

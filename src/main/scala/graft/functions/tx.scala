@@ -19,6 +19,10 @@ object tx {
   def tokenCount(text: Column): Column = col(TokenCount(ex(text)))
   def ngramJaccard(a: Column, b: Column, n: Column): Column =
     col(NgramJaccard(ex(a), ex(b), ex(n)))
+  def shingleHashes(text: Column, n: Column): Column =
+    col(ShingleHashes(ex(text), ex(n)))
+  def sortedJaccard(a: Column, b: Column): Column =
+    col(SortedJaccard(ex(a), ex(b)))
   def hamming(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
   def dmsToDeg(s: Column): Column = col(DmsToDeg(ex(s)))
   def degToDms(deg: Column, isLat: Column): Column = col(DegToDms(ex(deg), ex(isLat)))
@@ -33,6 +37,8 @@ object tx {
     reg.createOrReplaceTempFunction("quality_score", es => QualityScore(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_count", es => TokenCount(es.head), "built-in")
     reg.createOrReplaceTempFunction("ngram_jaccard", es => NgramJaccard(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_jaccard", es => SortedJaccard(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hamming", es => Hamming64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dms_to_deg", es => DmsToDeg(es.head), "built-in")
     reg.createOrReplaceTempFunction("deg_to_dms", es => DegToDms(es(0), es(1)), "built-in")

@@ -201,19 +201,39 @@ object Dedup {
     // a few hundred docs × 8 bands of text bytes cost nothing to shuffle.
     val repPairs = if (big) {
       val bands = reps.select(col("rid"), explode(col("__bands")).as("band"))
-      val guarded = bands
-        .withColumn("__bc", count(lit(1)).over(Window.partitionBy("band")))
-        .filter(col("__bc") <= maxBucket).drop("__bc")
-      val candidates = guarded.as("a").join(guarded.as("b"),
+      // bucket guard as a hot-band BROADCAST ANTI JOIN, not a window: the
+      // window rode the band exchange but forced a full SORT of the
+      // 8×-exploded band frame on every side; `> maxBucket` leaves a
+      // near-empty hot set, so a partially-aggregated count (map-side
+      // combine over the cached reps) costs one tiny shuffle and the
+      // self-join below can then HASH-join the unsorted band frame — the
+      // 32M-row sorts were a top-3 CPU stage of the 4M-doc pipeline
+      val hot = bands.groupBy("band").agg(count(lit(1)).as("__bc"))
+        .filter(col("__bc") > maxBucket).select("band")
+      val guarded = bands.join(broadcast(hot), Seq("band"), "left_anti")
+      // both join inputs are the same subtree — the band exchange is
+      // planned once and reused; SHUFFLE_HASH skips the per-side sorts
+      val candidates = compactFrame(guarded.as("a").hint("shuffle_hash")
+        .join(guarded.as("b"),
           col("a.band") === col("b.band") && col("a.rid") < col("b.rid"))
         .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
-        .dropDuplicates("rid_a", "rid_b")
-      // texts re-join ONLY for the (typically tiny) surviving candidate set
-      val texts = df.select(col(idName).as("__tid"), col(textName).as("__text"))
+        .dropDuplicates("rid_a", "rid_b"), big)
+      // verify via PRE-SHINGLED sets: one corpus scan computes each
+      // candidate doc's sorted shingle-hash array (the semi join filters
+      // BEFORE the shingling projection, so only docs appearing in a
+      // candidate pair pay it, each exactly once); scoring a pair is then
+      // a linear merge of two sorted arrays. The per-pair ngram_jaccard
+      // alternative re-tokenized both texts for EVERY pair — a doc in k
+      // pairs paid the shingling k times, the pipeline's dominant CPU.
+      val ids = candidates.select(col("rid_a").as("__tid"))
+        .union(candidates.select(col("rid_b").as("__tid"))).distinct()
+      val sh = df.select(col(idName).as("__tid"), col(textName).as("__tx"))
+        .join(ids, Seq("__tid"), "left_semi")
+        .select(col("__tid"), tx.shingleHashes(col("__tx"), lit(shingle)).as("__sh"))
       candidates
-        .join(texts, col("rid_a") === col("__tid")).withColumnRenamed("__text", "text_a").drop("__tid")
-        .join(texts, col("rid_b") === col("__tid")).withColumnRenamed("__text", "text_b").drop("__tid")
-        .withColumn("jaccard", tx.ngramJaccard(col("text_a"), col("text_b"), lit(shingle)))
+        .join(sh.select(col("__tid").as("rid_a"), col("__sh").as("__sha")), Seq("rid_a"))
+        .join(sh.select(col("__tid").as("rid_b"), col("__sh").as("__shb")), Seq("rid_b"))
+        .withColumn("jaccard", tx.sortedJaccard(col("__sha"), col("__shb")))
         .filter(col("jaccard") >= threshold)
         .select(col("rid_a"), col("rid_b"), col("jaccard"))
     } else {

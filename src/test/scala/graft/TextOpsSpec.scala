@@ -71,6 +71,31 @@ class TextOpsSpec extends SparkSpec {
     assert(TextRT.ngramJaccard(a, c, 2) === TextRT.ngramJaccard(c, a, 2))
   }
 
+  test("sortedJaccard over shingleHashes == ngramJaccard, kernel and expression") {
+    val texts = Seq(
+      "one two three four five six",
+      "one two three four seven eight nine",
+      "seven eight nine ten eleven twelve",
+      "", "single", "x y",
+      "the quick brown fox jumps over the lazy dog the quick brown fox")
+    for (a <- texts; b <- texts; n <- Seq(2, 3)) {
+      val merged = TextRT.sortedJaccard(TextRT.shingleHashes(a, n), TextRT.shingleHashes(b, n))
+      assert(merged === TextRT.ngramJaccard(a, b, n), s"'$a' vs '$b' n=$n")
+    }
+    // sortedness + distinctness of the precomputed arrays
+    val sh = TextRT.shingleHashes(texts.last, 2)
+    assert(sh.toSeq === sh.toSeq.sorted && sh.toSet.size === sh.length)
+    // expression path (codegen) matches the kernel, incl. via SQL registration
+    val pairs = texts.combinations(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val got = pairs.select(
+      tx.sortedJaccard(tx.shingleHashes($"a", lit(3)), tx.shingleHashes($"b", lit(3))).as("m"),
+      tx.ngramJaccard($"a", $"b", lit(3)).as("e")).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    val sql = spark.sql(
+      "SELECT sorted_jaccard(shingle_hashes('a b c d', 2), shingle_hashes('a b x d', 2))").head()
+    assert(sql.getDouble(0) === TextRT.ngramJaccard("a b c d", "a b x d", 2))
+  }
+
   test("langGuess identifies stopword-rich samples; expression == kernel") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it is happy with the sun for a while"),
