@@ -147,10 +147,12 @@ object Dedup {
    *     (see object doc) — a boilerplate mega-cluster can no longer
    *     oversize buckets;
    *  3. any band bucket still holding more than `maxBucket` DISTINCT texts
-   *     is dropped from candidate generation. The count rides a window
-   *     aggregate over the same hash partitioning the self-join needs, so
-   *     the guard costs no extra job, no persist — Catalyst reuses the
-   *     exchange for both join sides.
+   *     is dropped from candidate generation. On the big path the guard is
+   *     a broadcast ANTI join against the (near-empty) hot-band set — a
+   *     partially-aggregated count over the cached reps — so the band
+   *     frame stays unsorted and the self-join hash-joins it; the small
+   *     path keeps the window form, which rides its explicit smallParts
+   *     exchange for free.
    */
   def minhashPairs(df: DataFrame, textName: String, idName: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4, shingle: Int = 3,
