@@ -39,12 +39,20 @@ import org.apache.spark.sql.functions._
  * Also supported: `RELATE(g, <wkt>, 'DE-9IM')` and period durations in
  * DURING (`t1/P1D`, `PT2H/t2`, calendar parts applied in UTC).
  *
- * Deviations from GeoTools ECQL (documented, not accidental): no arithmetic
- * expressions inside comparisons — it does not appear in the reference's
- * corpus. Feature-ID filters (the bare `IN('id1','id2')` form, which the
- * reference's corpus DOES use in its idPredicates section) compile to a
- * membership test on `idColumn` (default `fid`) cast to string — the
- * DataFrame analog of `SimpleFeature.getID` addressing.
+ * Arithmetic (`+ - * /`, usual precedence, unary sign, parentheses) is
+ * accepted anywhere a comparison operand is: `score = 1 + 2`,
+ * `len * 2 > width`, `x BETWEEN lo - 1 AND hi + 1`. Division of integral
+ * operands is true division (double), matching both Spark SQL and
+ * GeoTools' Expression evaluation.
+ *
+ * Deviations from GeoTools ECQL (documented, not accidental): a comparison
+ * must LEAD with a property name — literal-leading forms (`3 < prop`) are
+ * not parsed; they are absent from the reference's corpus (the parse sweep
+ * in EcqlSpec proves every TestFilters entry parses). Feature-ID filters
+ * (the bare `IN('id1','id2')` form, which the reference's corpus DOES use
+ * in its idPredicates section) compile to a membership test on `idColumn`
+ * (default `fid`) cast to string — the DataFrame analog of
+ * `SimpleFeature.getID` addressing.
  */
 object Ecql {
 
@@ -174,7 +182,7 @@ object Ecql {
                 .getOrElse(fail("bad number", start))
               pos += n.length; Token(Tok.Num, n, start)
           }
-        case '-' | '+' => pos += 1; Token(Tok.Op, c.toString, start)
+        case '-' | '+' | '*' => pos += 1; Token(Tok.Op, c.toString, start)
         case a if a.isLetter || a == '_' =>
           val id = IdentRe.findPrefixOf(input.substring(pos)).get
           pos += id.length; Token(Tok.Ident, id, start)
@@ -377,21 +385,58 @@ object Ecql {
         else Timestamp.from(LocalDateTime.parse(text).toInstant(ZoneOffset.UTC))
       } catch { case _: Exception => fail(s"bad ISO-8601 instant '$text'", at) }
 
-    /** Scalar literal or column reference in a comparison RHS / IN list. */
-    private def value(): Column = tok.kind match {
+    /** Scalar operand in a comparison RHS / IN list / BETWEEN bound: a full
+      * arithmetic expression over literals and properties (GeoTools ECQL
+      * accepts `score = 1 + 2`, `prop * 2 > 10`; +,-,*,/ with the usual
+      * precedence, unary sign, parentheses). */
+    private def value(): Column = arithFrom(factor())
+
+    /** Continue an arithmetic expression whose FIRST factor is already
+      * parsed: finish the `* /` term level, then fold `+ -` over further
+      * terms. A no-op (returns `first`) when no arithmetic operator
+      * follows — which is every filter in the reference's corpus. */
+    private def arithFrom(first: Column): Column = {
+      var l = first
+      while ((tok.kind == Tok.Op && tok.text == "*") || tok.kind == Tok.Slash) {
+        val isMul = tok.kind == Tok.Op; advance()
+        val r = factor()
+        l = if (isMul) l * r else l / r
+      }
+      while (tok.kind == Tok.Op && (tok.text == "+" || tok.text == "-")) {
+        val op = tok.text; advance()
+        var r = factor()
+        while ((tok.kind == Tok.Op && tok.text == "*") || tok.kind == Tok.Slash) {
+          val isMul = tok.kind == Tok.Op; advance()
+          val rr = factor()
+          r = if (isMul) r * rr else r / rr
+        }
+        l = if (op == "+") l + r else l - r
+      }
+      l
+    }
+
+    /** Literal, property reference, signed factor, or parenthesized
+      * arithmetic expression. */
+    private def factor(): Column = tok.kind match {
       case Tok.Num => val v = tok.text; advance()
         if (v.contains('.') || v.contains('e') || v.contains('E')) lit(v.toDouble) else lit(v.toLong)
-      case Tok.Op if tok.text == "-" || tok.text == "+" => lit(signedNumber())
+      case Tok.Op if tok.text == "-" => advance(); -factor()
+      case Tok.Op if tok.text == "+" => advance(); factor()
       case Tok.Str =>
         val (t, p) = (tok.text, tok.pos); advance()
         if (DateTimeRe.pattern.matcher(t).matches()) tsLit(t, p) else lit(t)
       case Tok.DateTime => val (t, p) = (tok.text, tok.pos); advance(); tsLit(t, p)
       case Tok.Ident => val c = col(tok.text); advance(); c
+      case Tok.LParen =>
+        advance(); val e = value(); expect(Tok.RParen, ")"); e
       case _ => fail("expected literal or property name")
     }
 
     private def comparison(): Column = {
-      val prop = col(expect(Tok.Ident, "property name"))
+      // the LHS leads with a property (every corpus filter does); an
+      // arithmetic continuation (`score + 1 > 2`, `len * 2 = width`) folds
+      // onto it with normal precedence before the operator is read
+      val prop = arithFrom(col(expect(Tok.Ident, "property name")))
       if (acceptKw("IS")) {
         val negated = acceptKw("NOT"); expectKw("NULL")
         return if (negated) prop.isNotNull else prop.isNull

@@ -47,7 +47,7 @@ object ClusterScaling {
     spark.stop()
 
     val lines = results.map { r =>
-      f"""{"label":"${r.label}","job":"${r.job}","input_rows":${r.inputRows},"sec":${r.bestSec}%.3f,"rows_per_sec":${r.throughput}%.0f}"""
+      f"""{"label":"${r.label}","job":"${r.job}","input_rows":${r.inputRows},"sec":${r.bestSec}%.3f,"rows_per_sec":${r.throughput}%.0f,"all_secs":${r.allSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}}"""
     }.mkString("", "\n", "\n")
     Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
     Files.write(Paths.get(outPath), lines.getBytes(StandardCharsets.UTF_8),

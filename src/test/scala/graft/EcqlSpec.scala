@@ -132,10 +132,29 @@ class EcqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter(attr)").collect())
     intercept[Exception](
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter('attr = ')").collect())
-    // documented deviations: arithmetic in comparisons, the `ID '…'` form
-    // (the corpus' feature-ID syntax is the bare IN(...), supported below)
+    // documented deviations: the `ID '…'` form (the corpus' feature-ID
+    // syntax is the bare IN(...), supported below) and literal-leading
+    // comparisons
     intercept[Ecql.EcqlParseException](Ecql.toColumn("ID '42'"))
-    intercept[Ecql.EcqlParseException](Ecql.toColumn("score = 1 + 2"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("3 < score"))
+  }
+
+  test("arithmetic in comparison operands: precedence, unary sign, parens") {
+    assert(ids("id = 1 + 2") === Seq(3L))
+    assert(ids("id = 1 + 2 * 2") === Seq(5L))          // * binds tighter than +
+    assert(ids("id = (1 + 3) / 2") === Seq(2L))        // parens, true division
+    assert(ids("id = 2 * 2 - 1") === Seq(3L))
+    assert(ids("id = -1 + 3") === Seq(2L))             // unary minus
+    assert(ids("id + 1 > 4") === Seq(4L, 5L))          // LHS continuation
+    assert(ids("id * 2 = 8") === Seq(4L))
+    assert(ids("score = 2 * score - 3") === Seq(1L))   // property on both sides
+    assert(ids("id BETWEEN 2 - 1 AND 1 + 1") === Seq(1L, 2L))
+    assert(ids("id IN (1 + 1, 2 + 2)") === Seq(2L, 4L))
+    // division of integrals is true division: 3 / 2 = 1.5 matches nothing
+    assert(ids("id = 3 / 2") === Seq())
+    // malformed tails still fail with a position
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("id = 1 +"))
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("id = (1 + 2"))
   }
 
   test("bare IN(...) is the feature-ID filter on the configured id column") {
