@@ -43,9 +43,11 @@ object Scaling {
     val lines = new StringBuilder
     lines ++= "# BENCH / BASELINE — measured scaling evidence\n\n"
     lines ++= s"Pages: $pageRows synthetic rows (deterministic LCG geoparse, city-cluster\n"
-    lines ++= s"skew); regions from `$sfDir`. Same JVM, sequential sessions at local[8]\n"
-    lines ++= "and local[32] (sandbox proxy for N vs 4N executors — no real cluster);\n"
-    lines ++= s"best of $repeats runs per level; shuffle.partitions = cores.\n\n"
+    lines ++= s"skew); regions from `$sfDir`. Same JVM, sequential sessions at\n"
+    lines ++= s"local[${levels.mkString("]/local[")}] (sandbox proxy for N vs 4N executors — no real\n"
+    lines ++= s"cluster); best of $repeats COLD runs per level (the SQL cache is cleared\n"
+    lines ++= "before every repeat, so persisted dedup frames never carry over);\n"
+    lines ++= "shuffle.partitions = cores.\n\n"
     lines ++= "| job | cores | input rows | sec | rows/sec |\n|---|---|---|---|---|\n"
     results.foreach { r =>
       lines ++= f"| ${r.job} | ${r.label} | ${r.inputRows} | ${r.bestSec}%.3f | ${r.throughput}%.0f |\n"
