@@ -40,19 +40,21 @@ import org.apache.spark.sql.functions._
  * DURING (`t1/P1D`, `PT2H/t2`, calendar parts applied in UTC).
  *
  * Arithmetic (`+ - * /`, usual precedence, unary sign, parentheses) is
- * accepted anywhere a comparison operand is: `score = 1 + 2`,
- * `len * 2 > width`, `x BETWEEN lo - 1 AND hi + 1`. Division of integral
- * operands is true division (double), matching both Spark SQL and
- * GeoTools' Expression evaluation.
+ * accepted anywhere a comparison operand is — on either side: `score =
+ * 1 + 2`, `3 < score`, `(1 + 2) * 2 = len`, `x BETWEEN lo - 1 AND hi + 1`.
+ * Division of integral operands is true division (double), matching both
+ * Spark SQL and GeoTools' Expression evaluation. A leading `(` is resolved
+ * by one bounded backtrack: boolean grouping first, expression comparison
+ * on failure.
  *
- * Deviations from GeoTools ECQL (documented, not accidental): a comparison
- * must LEAD with a property name — literal-leading forms (`3 < prop`) are
- * not parsed; they are absent from the reference's corpus (the parse sweep
- * in EcqlSpec proves every TestFilters entry parses). Feature-ID filters
- * (the bare `IN('id1','id2')` form, which the reference's corpus DOES use
- * in its idPredicates section) compile to a membership test on `idColumn`
- * (default `fid`) cast to string — the DataFrame analog of
- * `SimpleFeature.getID` addressing.
+ * Grammar-deviation note: none known against the forms GeoTools' ECQL
+ * accepts in the reference's usage — the EcqlSpec parse sweep proves every
+ * entry of the reference's TestFilters corpus parses, and the keyword
+ * forms (IS NULL, DURING, LIKE, IN, BETWEEN) lead with a property as they
+ * do in GeoTools. Feature-ID filters (the bare `IN('id1','id2')` form,
+ * which the reference's corpus DOES use in its idPredicates section)
+ * compile to a membership test on `idColumn` (default `fid`) cast to
+ * string — the DataFrame analog of `SimpleFeature.getID` addressing.
  */
 object Ecql {
 
@@ -215,7 +217,21 @@ object Ecql {
       if (acceptKw("NOT")) !parseNot() else parsePrimary()
 
     private def parsePrimary(): Column = {
-      if (tok.kind == Tok.LParen) { advance(); val c = parseOr(); expect(Tok.RParen, ")"); c }
+      if (tok.kind == Tok.LParen) {
+        // ambiguous lead: boolean grouping `(a > 1) AND b` vs an
+        // arithmetic LHS `(1 + 2) * 2 = prop`. Try boolean first (every
+        // corpus filter is); on failure rewind the two-var parser state
+        // and read an expression comparison. If THAT fails too, rethrow
+        // the boolean error — the likelier intent.
+        val (savedPos, savedTok) = (pos, tok)
+        try { advance(); val c = parseOr(); expect(Tok.RParen, ")"); c }
+        catch {
+          case boolErr: EcqlParseException =>
+            pos = savedPos; tok = savedTok
+            try exprComparison()
+            catch { case _: EcqlParseException => throw boolErr }
+        }
+      }
       else if (acceptKw("INCLUDE")) lit(true)
       else if (acceptKw("EXCLUDE")) lit(false)
       else if (tok.kind == Tok.Ident && SpatialBinary.contains(tok.text.toUpperCase)) spatialBinary()
@@ -223,7 +239,29 @@ object Ecql {
       else if (isKw("DWITHIN") || isKw("BEYOND")) dwithin()
       else if (isKw("RELATE")) relate()
       else if (isKw("IN")) idFilter()
+      else if (tok.kind == Tok.Num || tok.kind == Tok.Str || tok.kind == Tok.DateTime ||
+               (tok.kind == Tok.Op && (tok.text == "-" || tok.text == "+")))
+        exprComparison() // literal-leading: `3 < prop`, `1 + 2 = prop`
       else comparison()
+    }
+
+    /** Comparison whose LHS is a general expression rather than a leading
+      * property: `3 < prop`, `1 + 2 = prop`, `(1 + 3) / 2 = prop`. Only
+      * the six comparison operators apply here (the keyword forms — IS
+      * NULL, DURING, LIKE, IN, BETWEEN — all lead with a property). */
+    private def exprComparison(): Column = {
+      val lhs = value()
+      cmpOp(lhs, expect(Tok.Op, "comparison operator"), value())
+    }
+
+    private def cmpOp(lhs: Column, op: String, rhs: Column): Column = op match {
+      case "="          => lhs === rhs
+      case "<>" | "!="  => lhs =!= rhs
+      case "<"          => lhs < rhs
+      case "<="         => lhs <= rhs
+      case ">"          => lhs > rhs
+      case ">="         => lhs >= rhs
+      case other        => fail(s"unknown operator $other")
     }
 
     /** Bare `IN('id1','id2')` — the GeoTools feature-ID filter (the
@@ -494,17 +532,7 @@ object Ecql {
         return if (negated) !c else c
       }
       if (negated) fail("expected LIKE/ILIKE/IN/BETWEEN after NOT")
-      val op = expect(Tok.Op, "comparison operator")
-      val rhs = value()
-      op match {
-        case "="          => prop === rhs
-        case "<>" | "!="  => prop =!= rhs
-        case "<"          => prop < rhs
-        case "<="         => prop <= rhs
-        case ">"          => prop > rhs
-        case ">="         => prop >= rhs
-        case other        => fail(s"unknown operator $other")
-      }
+      cmpOp(prop, expect(Tok.Op, "comparison operator"), value())
     }
   }
 }

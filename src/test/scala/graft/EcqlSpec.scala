@@ -132,11 +132,9 @@ class EcqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter(attr)").collect())
     intercept[Exception](
       spark.sql("SELECT * FROM ecql_docs WHERE cql_filter('attr = ')").collect())
-    // documented deviations: the `ID '…'` form (the corpus' feature-ID
-    // syntax is the bare IN(...), supported below) and literal-leading
-    // comparisons
+    // documented deviation: the `ID '…'` form (the corpus' feature-ID
+    // syntax is the bare IN(...), supported below)
     intercept[Ecql.EcqlParseException](Ecql.toColumn("ID '42'"))
-    intercept[Ecql.EcqlParseException](Ecql.toColumn("3 < score"))
   }
 
   test("arithmetic in comparison operands: precedence, unary sign, parens") {
@@ -155,6 +153,22 @@ class EcqlSpec extends SparkSpec {
     // malformed tails still fail with a position
     intercept[Ecql.EcqlParseException](Ecql.toColumn("id = 1 +"))
     intercept[Ecql.EcqlParseException](Ecql.toColumn("id = (1 + 2"))
+  }
+
+  test("literal-leading comparisons: `3 < prop`, expression on both sides") {
+    assert(ids("3 < id") === Seq(4L, 5L))
+    assert(ids("1 + 2 = id") === Seq(3L))
+    assert(ids("-2.0 = score") === Seq(4L))
+    assert(ids("(1 + 3) / 2 = id") === Seq(2L))
+    assert(ids("2 * id = id + 3") === Seq(3L))        // expressions both sides
+    assert(ids("'val17' = attr") === Seq(1L))
+    // paren-lead stays boolean when it is one; arithmetic when it is not
+    assert(ids("(id > 4) AND attr = 'valley'") === Seq(5L))
+    assert(ids("(1 + 2) * 2 - 2 = id AND attr = 'value'") === Seq(4L))
+    // a malformed boolean group reports the boolean error, not a
+    // misleading arithmetic one
+    val e = intercept[Ecql.EcqlParseException](Ecql.toColumn("(attr = )"))
+    assert(e.getMessage.contains("expected literal or property name"))
   }
 
   test("bare IN(...) is the feature-ID filter on the configured id column") {
