@@ -447,13 +447,27 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .repartition(parts, col("src"))
         .groupBy(col("src").as("nid")).agg(min("label").as("nlabel"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("__prev"))
+      // pointer jump: label <- label(label). Labels are vertex ids and
+      // monotone non-increasing, so following one hop of the previous
+      // round's table stays inside the component and (combined with the
+      // neighborhood step) roughly halves the remaining diameter each
+      // round — O(log d) rounds where plain propagation needs O(d). On a
+      // chain-shaped component (the dedup gate's worst case) this is the
+      // difference between ~20 and ~5 rounds of stage dispatch.
+      val jumped = stepped.as("s")
+        .join(labels.select(col("id").as("__pid"), col("label").as("__plbl")).as("p"),
+          col("s.label") === col("__pid"), "left")
+      val finalLabel = least(col("s.label"), coalesce(col("__plbl"), col("s.label")))
       // the change flag rides INSIDE the eagerly-checkpointed frame, so the
       // convergence probe is a filter over materialized blocks — not a
       // second join recomputing the round
-      val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), newLabel.as("label"),
-          (newLabel =!= col("label")).as("__changed"))
+      val next = jumped
+        .select(col("s.id").as("id"), finalLabel.as("label"),
+          (finalLabel =!= col("__prev")).as("__changed"))
         .localCheckpoint(true)
       val changed = next.filter(col("__changed")).limit(1).count()
       labels = next.drop("__changed")
