@@ -140,6 +140,17 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0)
   }
 
+  test("clustering converges on a 300-diameter chain (pointer jumping)") {
+    // plain min-label propagation moves the min ONE hop per round, so a
+    // component deeper than maxIter (20) rounds would mislabel; pointer
+    // jumping reaches ~2^rounds — this chain needs it
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size === 301)
+    assert(cl.values.toSet === Set(0L), "every vertex labels to the chain min")
+  }
+
   test("near-dup clustering: connected components + survivors") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
