@@ -416,9 +416,10 @@ object Dedup {
 
   /**
    * Near-duplicate clusters from a candidate-pair table: connected
-   * components by iterative min-label propagation (each round every vertex
-   * takes the min label in its neighborhood; converges in O(diameter)
-   * rounds — near-dup components are shallow in practice). Returns
+   * components by iterative min-label propagation with pointer jumping
+   * (each round every vertex takes the min label in its neighborhood,
+   * then follows one hop of the label table; converges in O(log diameter)
+   * rounds). Returns
    * (id, cluster) with cluster = min id of the component. Distributed:
    * each round is one equi-join + aggregate; lineage is truncated with
    * localCheckpoint to keep plans bounded.
