@@ -390,6 +390,37 @@ object Ecql {
 
     private def tsLit(text: String, at: Int): Column = lit(parseInstant(text, at))
 
+    /** Operand of a temporal predicate: a bare instant (Left) or a period
+      * (Right(start, end)) in any of the three OGC forms — t1/t2,
+      * t1/duration, duration/t2 (ISO-8601 durations, e.g. P1D, PT2H30M).
+      * Quoted instant strings are accepted like bare ones. Each operand's
+      * position is captured BEFORE expect() advances past it, so a
+      * malformed operand reports itself, not the next token. */
+    private def temporalOperand(): Either[Timestamp, (Timestamp, Timestamp)] = {
+      if (tok.kind == Tok.Ident) { // duration/t2
+        val p1 = tok.pos
+        val durText = expect(Tok.Ident, "ISO-8601 duration")
+        expect(Tok.Slash, "/")
+        val p2 = tok.pos
+        val t2 = parseInstant(expect(Tok.DateTime, "ISO instant"), p2)
+        return Right((Timestamp.from(shiftInstant(t2.toInstant, durText, sign = -1, p1)), t2))
+      }
+      val p1 = tok.pos
+      val raw = if (tok.kind == Tok.Str) expect(Tok.Str, "ISO instant")
+        else expect(Tok.DateTime, "ISO instant")
+      val t1 = parseInstant(raw, p1)
+      if (tok.kind != Tok.Slash) return Left(t1)
+      advance() // '/'
+      if (tok.kind == Tok.Ident) { // t1/duration
+        val p2 = tok.pos
+        val durText = expect(Tok.Ident, "ISO-8601 duration")
+        Right((t1, Timestamp.from(shiftInstant(t1.toInstant, durText, sign = 1, p2))))
+      } else {
+        val p2 = tok.pos
+        Right((t1, parseInstant(expect(Tok.DateTime, "ISO instant"), p2)))
+      }
+    }
+
     /** Shift an instant by an ISO-8601 duration (calendar part applied in
       * UTC — P1M over a month boundary follows java.time calendar rules,
       * matching GeoTools' UTC-anchored period arithmetic). */
@@ -480,35 +511,28 @@ object Ecql {
         return if (negated) prop.isNotNull else prop.isNull
       }
       if (acceptKw("DURING")) {
-        // OGC During (strict interior) over a period: t1/t2, t1/duration,
-        // or duration/t2 (ISO-8601 durations, e.g. P1D, PT2H30M, P1Y2MT3H).
-        // Capture each operand's own position BEFORE expect() advances past
-        // it, so a malformed operand reports itself, not the next token.
-        if (tok.kind == Tok.Ident) { // duration/t2
-          val p1 = tok.pos
-          val durText = expect(Tok.Ident, "ISO-8601 duration")
-          expect(Tok.Slash, "/")
-          val p2 = tok.pos
-          val t2 = parseInstant(expect(Tok.DateTime, "ISO instant"), p2)
-          val t1 = shiftInstant(t2.toInstant, durText, sign = -1, p1)
-          return prop > lit(Timestamp.from(t1)) && prop < lit(t2)
+        temporalOperand() match {
+          case Right((t1, t2)) => // OGC During: strict interior of the period
+            return prop > lit(t1) && prop < lit(t2)
+          case Left(_) => fail("DURING takes a period (t1/t2, t1/duration, duration/t2)")
         }
-        val p1 = tok.pos
-        val t1 = parseInstant(expect(Tok.DateTime, "ISO instant"), p1)
-        expect(Tok.Slash, "/")
-        if (tok.kind == Tok.Ident) { // t1/duration
-          val p2 = tok.pos
-          val durText = expect(Tok.Ident, "ISO-8601 duration")
-          val t2 = shiftInstant(t1.toInstant, durText, sign = 1, p2)
-          return prop > lit(t1) && prop < lit(Timestamp.from(t2))
-        }
-        val p2 = tok.pos
-        val t2 = tsLit(expect(Tok.DateTime, "ISO instant"), p2)
-        return prop > lit(t1) && prop < t2 // OGC During: strict interior
       }
-      if (acceptKw("BEFORE")) return prop < value()
-      if (acceptKw("AFTER")) return prop > value()
-      if (acceptKw("TEQUALS")) return prop === value()
+      // BEFORE/AFTER take an instant or a period (OGC: Before a period =
+      // before its start; After a period = after its end). These must NOT
+      // go through value() — the arithmetic grammar would read the
+      // period's `/` as division over two timestamps.
+      if (acceptKw("BEFORE")) return temporalOperand() match {
+        case Left(t) => prop < lit(t)
+        case Right((t1, _)) => prop < lit(t1)
+      }
+      if (acceptKw("AFTER")) return temporalOperand() match {
+        case Left(t) => prop > lit(t)
+        case Right((_, t2)) => prop > lit(t2)
+      }
+      if (acceptKw("TEQUALS")) return temporalOperand() match {
+        case Left(t) => prop === lit(t)
+        case Right(_) => fail("TEQUALS takes an instant, not a period")
+      }
       val negated = acceptKw("NOT")
       if (acceptKw("LIKE")) {
         val c = prop.like(expect(Tok.Str, "pattern"))

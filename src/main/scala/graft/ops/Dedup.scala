@@ -104,14 +104,16 @@ object Dedup {
   /** A small corpus usually arrives in ONE scan partition (a sub-128MB
     * parquet file), so the signature pass — the pipeline's only CPU-heavy
     * expression — would run as a single serial task. Spread it across
-    * [[smallParts]] partitions BY THE GROUP HASH, so every later group-by
-    * on `__h` (rep collapse, multi-group detection) aggregates in place
-    * with no further exchange — the small path's latency is stage/task
-    * dispatch, and this removes both the extra exchanges and the 32-task
-    * fan-out per stage (`byHash` is the group-hash column). Big inputs
-    * already have partitions and pass through. */
-  private def spreadSmall(df: DataFrame, big: Boolean, byHash: Column): DataFrame =
-    if (big) df else df.repartition(smallParts(df), byHash)
+    * [[smallParts]] partitions BY ROW ID (uniform), not by the content
+    * hash: hash-spreading sent every exact-duplicate row to ONE partition,
+    * so a boilerplate-heavy corpus (the mega-cluster case minhashPairs
+    * itself guards against) re-serialized the per-row signature CPU. The
+    * later group-bys on `__h` (rep collapse, group sizes) pay one more
+    * small exchange, but their partial aggregation collapses duplicate
+    * rows per partition BEFORE it, so the skewed case ships almost
+    * nothing. Big inputs already have partitions and pass through. */
+  private def spreadSmall(df: DataFrame, big: Boolean, byId: Column): DataFrame =
+    if (big) df else df.repartition(smallParts(df), byId)
 
   /** Exact duplicate groups by content hash: (text_hash, keeper_id, n). */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -168,7 +170,7 @@ object Dedup {
     // re-hash every document (measured: 4-5 full corpus passes)
     val base = compactFrame(spreadSmall(
         df.select(col(idName).as("id"), h.as("__h"), col(textName).as("__t0")),
-        big, col("__h"))
+        big, col("id"))
       .select(col("id"), col("__h"),
         (if (big) lit(null).cast("string") else col("__t0")).as("__text"),
         tx.minhash(col("__t0"), lit(numHashes), lit(shingle)).as("__sig"))
@@ -283,7 +285,7 @@ object Dedup {
     // branch/broadcast build would re-scan and re-hash the corpus otherwise
     val base = compactFrame(spreadSmall(
         df.select(col(idName).as("id"), h.as("__h"), col(textName).as("__t0")),
-        big, col("__h"))
+        big, col("id"))
       .select(col("id"), col("__h"), tx.simhash(col("__t0")).as("sig")), big)
     val members = base.select("id", "__h")
     val sigs = base.filter(col("sig") =!= 0L)
@@ -469,6 +471,10 @@ object Dedup {
       val next = jumped
         .select(col("s.id").as("id"), finalLabel.as("label"),
           (finalLabel =!= col("__prev")).as("__changed"))
+        // the jump join leaves the frame keyed on LABEL; re-key on id so
+        // the next round's two joins on labels("id") see the partitioning
+        // the loop was designed around instead of re-exchanging the table
+        .repartition(parts, col("id"))
         .localCheckpoint(true)
       val changed = next.filter(col("__changed")).limit(1).count()
       labels = next.drop("__changed")

@@ -112,25 +112,46 @@ private[sources] object AvroSplitSource {
     all
   }
 
-  /** Non-hidden data files under the given paths (a file, or one directory
-    * level — the layout [[IngestExport.writeAvro]] and most Avro producers
-    * emit). */
+  /** The session's Hadoop configuration (spark.hadoop.* and
+    * per-session overrides included) — a bare `new Configuration()` would
+    * drop the credentials/endpoints a non-local filesystem needs. Driver
+    * side only; executors receive the entries through [[confEntries]]. */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  /** Serializable form of a Configuration for shipping to executors
+    * (SerializableConfiguration is private[spark]). */
+  def confEntries(conf: Configuration): Array[(String, String)] =
+    conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+
+  def confFromEntries(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Non-hidden data files under the given paths: each path may be a file,
+    * a glob (expanded with the filesystem's glob semantics, like the
+    * built-in file sources), or a directory (one level of data files —
+    * the layout [[IngestExport.writeAvro]] and most Avro producers emit). */
   def listFiles(options: CaseInsensitiveStringMap, conf: Configuration): Seq[FileStatus] =
     paths(options).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val st = fs.getFileStatus(path)
-      val files = if (st.isDirectory) fs.listStatus(path).toSeq else Seq(st)
-      files.filter { f =>
-        val n = f.getPath.getName
-        f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
-      }
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matched.isEmpty)
+        throw new java.io.FileNotFoundException(s"graft-avro: no files match $p")
+      matched.flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+        .filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+        }
     }
 
   /** Embedded writer schema of the first data file (container files carry
     * their schema in the header). */
   def fileSchema(options: CaseInsensitiveStringMap): Schema = {
-    val conf = new Configuration()
+    val conf = hadoopConf()
     val first = listFiles(options, conf).headOption.getOrElse(
       throw new IllegalArgumentException(
         s"graft-avro: no data files under ${paths(options).mkString(",")}"))
@@ -183,7 +204,7 @@ private[sources] class AvroScan(fullSchema: StructType, required: StructType,
     s"graft-avro cols=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = AvroSplitSource.hadoopConf()
     val splitBytes = Option(options.get("splitbytes")).map(_.toLong)
       .getOrElse(SQLConf.get.filesMaxPartitionBytes)
     require(splitBytes > 0, s"graft-avro: splitBytes must be positive")
@@ -199,41 +220,52 @@ private[sources] class AvroScan(fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required)
+    new AvroReaderFactory(required,
+      AvroSplitSource.confEntries(AvroSplitSource.hadoopConf()))
 }
 
-private[sources] class AvroReaderFactory(required: StructType)
+private[sources] class AvroReaderFactory(required: StructType,
+                                         confEntries: Array[(String, String)])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroSplitReader(partition.asInstanceOf[AvroSplit], required)
+    new AvroSplitReader(partition.asInstanceOf[AvroSplit], required, confEntries)
 }
 
-private[sources] class AvroSplitReader(split: AvroSplit, required: StructType)
+private[sources] class AvroSplitReader(split: AvroSplit, required: StructType,
+                                       confEntries: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = AvroSplitSource.confFromEntries(confEntries)
   private val in = new FsInput(new Path(split.path), conf)
-  private val reader: DataFileReader[GenericRecord] = {
-    val datum = new GenericDatumReader[GenericRecord]()
-    val r = new DataFileReader[GenericRecord](in, datum)
-    // prune at the DECODER: a reader schema holding only the required
-    // fields makes Avro's resolver skip (not decode) the other fields'
-    // bytes. Built against the file's own writer schema so field schemas
-    // match exactly whatever the producer wrote.
-    val writer = r.getSchema
-    val keep = required.fieldNames.toSet
-    val fields = writer.getFields.asScala.filter(f => keep(f.name)).map { f =>
-      new Schema.Field(f.name, f.schema, f.doc, f.defaultVal())
+  private val reader: DataFileReader[GenericRecord] =
+    // if anything in reader construction / projection / sync throws (a
+    // corrupt or truncated container), close the input — close() is never
+    // reached and the open stream would leak a descriptor per task attempt
+    try {
+      val datum = new GenericDatumReader[GenericRecord]()
+      val r = new DataFileReader[GenericRecord](in, datum)
+      // prune at the DECODER: a reader schema holding only the required
+      // fields makes Avro's resolver skip (not decode) the other fields'
+      // bytes. Built against the file's own writer schema so field schemas
+      // match exactly whatever the producer wrote.
+      val writer = r.getSchema
+      val keep = required.fieldNames.toSet
+      val fields = writer.getFields.asScala.filter(f => keep(f.name)).map { f =>
+        new Schema.Field(f.name, f.schema, f.doc, f.defaultVal())
+      }
+      val projected = Schema.createRecord(
+        writer.getName, writer.getDoc, writer.getNamespace, writer.isError)
+      projected.setFields(fields.asJava)
+      datum.setExpected(projected)
+      // first sync marker at-or-after the range start; a range beginning
+      // mid-block skips to the next block (its owner is the previous range)
+      r.sync(split.start)
+      r
+    } catch {
+      case t: Throwable =>
+        try in.close() catch { case suppressed: Throwable => t.addSuppressed(suppressed) }
+        throw t
     }
-    val projected = Schema.createRecord(
-      writer.getName, writer.getDoc, writer.getNamespace, writer.isError)
-    projected.setFields(fields.asJava)
-    datum.setExpected(projected)
-    // first sync marker at-or-after the range start; a range beginning
-    // mid-block skips to the next block (its owner is the previous range)
-    r.sync(split.start)
-    r
-  }
   private val fieldTypes = required.fields.map(_.dataType)
   private val fieldNames = required.fieldNames
   private var current: GenericRecord = _

@@ -30,11 +30,12 @@ object LayoutRehearsal {
     val report = args.lift(3).getOrElse("BENCH/LAYOUT40M.md")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+    // heap: spark.driver.memory set in-process is a no-op in local mode —
+    // size the forked JVM via SPARK_DRIVER_MEM (build.sbt turns it into -Xmx)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,11 +36,13 @@ object PipelineScale {
     val vecRows = math.max(1000L, rows / 20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+    // heap: setting spark.driver.memory from inside an already-running JVM
+    // is a no-op in local mode — size the forked JVM via the SPARK_DRIVER_MEM
+    // env var (build.sbt turns it into -Xmx); 24g fits the 40M default
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

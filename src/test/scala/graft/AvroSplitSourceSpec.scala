@@ -89,4 +89,26 @@ class AvroSplitSourceSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(got === want)
   }
+
+  test("glob paths expand; missing paths fail with FileNotFound") {
+    // the built-in file sources accept globs — so must this one
+    val glob = s"$containerDir/part-*.avro"
+    assert(spark.read.format("graft-avro").load(glob).count() === NRows)
+    val err = intercept[Exception](
+      spark.read.format("graft-avro").load(s"$containerDir/nope-*.avro").count())
+    assert(err.toString.contains("no files match") ||
+      Option(err.getCause).exists(_.toString.contains("no files match")))
+  }
+
+  test("session hadoop conf reaches the executor-side reader") {
+    // spark.hadoop.* settings must survive into the reader's Configuration
+    // (a bare `new Configuration()` would drop credentials/endpoints on a
+    // real filesystem); assert the plumbing via a marker key
+    val sc = spark.sparkContext.hadoopConfiguration
+    sc.set("graft.test.marker", "present")
+    try {
+      val conf = graft.sources.AvroTestHooks.readerConf(spark)
+      assert(conf.get("graft.test.marker") === "present")
+    } finally sc.unset("graft.test.marker")
+  }
 }

@@ -61,6 +61,13 @@ class EcqlSpec extends SparkSpec {
     // quoted ISO strings become timestamp literals: inclusive BETWEEN
     assert(ids("dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z'")
       === Seq(1L, 3L, 5L))
+    // BEFORE/AFTER over a PERIOD (OGC: before its start / after its end) —
+    // the period's '/' must parse temporally, never as division
+    assert(ids("dtg BEFORE 2010-07-02T00:00:00Z/2010-08-01T00:00:00Z") === Seq(3L))
+    assert(ids("dtg AFTER 2010-08-01T00:00:00Z/P60D") === Seq(4L))
+    assert(ids("dtg BEFORE P1D/2010-07-03T00:00:00Z") === Seq(3L))
+    intercept[Ecql.EcqlParseException](
+      Ecql.toColumn("dtg TEQUALS 2010-07-01T00:00:00Z/2010-07-31T00:00:00Z"))
   }
 
   test("spatial: INTERSECTS/WITHIN/BBOX/DWITHIN match the typed-Column query") {
