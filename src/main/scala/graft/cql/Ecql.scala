@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
  * so the planner's spatial-join/pushdown rules see the same `St*` expression
  * trees the typed API builds — ECQL queries plan identically to Column ones.
  *
- * Also supported: `RELATE(g, <wkt>, 'DE-9IM')` and period durations in
- * DURING (`t1/P1D`, `PT2H/t2`, calendar parts applied in UTC).
+ * Also supported: `RELATE(g, <wkt>, 'DE-9IM')` and OGC periods (`t1/t2`,
+ * `t1/P1D`, `PT2H/t2`, calendar parts applied in UTC) in DURING and in
+ * BEFORE/AFTER (before a period's start / after its end).
  *
  * Arithmetic (`+ - * /`, usual precedence, unary sign, parentheses) is
  * accepted anywhere a comparison operand is — on either side: `score =
