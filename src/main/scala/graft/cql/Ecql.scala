@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
  *                 `DWITHIN/BEYOND(prop, <WKT>, dist, units)`
  *   - temporal:  `prop DURING t1/t2` (strict interior, OGC During),
  *                 `BEFORE`, `AFTER`, `TEQUALS` with ISO-8601 instants
+ *                 (quoted or bare, in every period slot) or another
+ *                 timestamp property (`dtg AFTER end_ts`)
  *   - attribute: `= <> != < <= > >=`, `[NOT] LIKE / ILIKE`, `[NOT] IN (...)`,
  *                 `[NOT] BETWEEN a AND b` (inclusive), `IS [NOT] NULL`
  *
@@ -391,35 +393,52 @@ object Ecql {
 
     private def tsLit(text: String, at: Int): Column = lit(parseInstant(text, at))
 
-    /** Operand of a temporal predicate: a bare instant (Left) or a period
-      * (Right(start, end)) in any of the three OGC forms — t1/t2,
-      * t1/duration, duration/t2 (ISO-8601 durations, e.g. P1D, PT2H30M).
-      * Quoted instant strings are accepted like bare ones. Each operand's
-      * position is captured BEFORE expect() advances past it, so a
-      * malformed operand reports itself, not the next token. */
-    private def temporalOperand(): Either[Timestamp, (Timestamp, Timestamp)] = {
-      if (tok.kind == Tok.Ident) { // duration/t2
+    /** Parsed operand of BEFORE/AFTER/TEQUALS/DURING. */
+    private sealed trait TemporalOperand
+    private case class TInstant(t: Timestamp) extends TemporalOperand
+    private case class TPeriod(start: Timestamp, end: Timestamp) extends TemporalOperand
+    private case class TProp(name: String) extends TemporalOperand
+
+    /** Operand of a temporal predicate: an instant literal, a period in any
+      * of the three OGC forms — t1/t2, t1/duration, duration/t2 (ISO-8601
+      * durations, e.g. P1D, PT2H30M) — or a reference to another timestamp
+      * property (GeoTools accepts `dtg AFTER end_ts`). Instants may be bare
+      * or 'single-quoted' in EVERY position, including a period's second
+      * operand. Each operand's position is captured BEFORE expect()
+      * advances past it, so a malformed operand reports itself, not the
+      * next token. */
+    private def temporalOperand(): TemporalOperand = {
+      if (tok.kind == Tok.Ident) {
         val p1 = tok.pos
-        val durText = expect(Tok.Ident, "ISO-8601 duration")
-        expect(Tok.Slash, "/")
-        val p2 = tok.pos
-        val t2 = parseInstant(expect(Tok.DateTime, "ISO instant"), p2)
-        return Right((Timestamp.from(shiftInstant(t2.toInstant, durText, sign = -1, p1)), t2))
+        val text = expect(Tok.Ident, "ISO-8601 duration or property name")
+        // duration only when a '/' follows; a bare identifier is a column
+        // reference (prop-vs-prop temporal comparison)
+        if (tok.kind != Tok.Slash) return TProp(text)
+        advance() // '/'
+        val (raw, p2) = instantToken()
+        val t2 = parseInstant(raw, p2)
+        return TPeriod(Timestamp.from(shiftInstant(t2.toInstant, text, sign = -1, p1)), t2)
       }
-      val p1 = tok.pos
-      val raw = if (tok.kind == Tok.Str) expect(Tok.Str, "ISO instant")
-        else expect(Tok.DateTime, "ISO instant")
-      val t1 = parseInstant(raw, p1)
-      if (tok.kind != Tok.Slash) return Left(t1)
+      val (raw1, p1) = instantToken()
+      val t1 = parseInstant(raw1, p1)
+      if (tok.kind != Tok.Slash) return TInstant(t1)
       advance() // '/'
       if (tok.kind == Tok.Ident) { // t1/duration
         val p2 = tok.pos
         val durText = expect(Tok.Ident, "ISO-8601 duration")
-        Right((t1, Timestamp.from(shiftInstant(t1.toInstant, durText, sign = 1, p2))))
+        TPeriod(t1, Timestamp.from(shiftInstant(t1.toInstant, durText, sign = 1, p2)))
       } else {
-        val p2 = tok.pos
-        Right((t1, parseInstant(expect(Tok.DateTime, "ISO instant"), p2)))
+        val (raw2, p2) = instantToken()
+        TPeriod(t1, parseInstant(raw2, p2))
       }
+    }
+
+    /** Raw text + position of an instant token, quoted or bare. */
+    private def instantToken(): (String, Int) = {
+      val p = tok.pos
+      val raw = if (tok.kind == Tok.Str) expect(Tok.Str, "ISO instant")
+        else expect(Tok.DateTime, "ISO instant")
+      (raw, p)
     }
 
     /** Shift an instant by an ISO-8601 duration (calendar part applied in
@@ -513,26 +532,30 @@ object Ecql {
       }
       if (acceptKw("DURING")) {
         temporalOperand() match {
-          case Right((t1, t2)) => // OGC During: strict interior of the period
+          case TPeriod(t1, t2) => // OGC During: strict interior of the period
             return prop > lit(t1) && prop < lit(t2)
-          case Left(_) => fail("DURING takes a period (t1/t2, t1/duration, duration/t2)")
+          case _ => fail("DURING takes a period (t1/t2, t1/duration, duration/t2)")
         }
       }
-      // BEFORE/AFTER take an instant or a period (OGC: Before a period =
-      // before its start; After a period = after its end). These must NOT
-      // go through value() — the arithmetic grammar would read the
-      // period's `/` as division over two timestamps.
+      // BEFORE/AFTER take an instant, a period (OGC: Before a period =
+      // before its start; After a period = after its end) or another
+      // timestamp property. These must NOT go through value() — the
+      // arithmetic grammar would read the period's `/` as division over
+      // two timestamps.
       if (acceptKw("BEFORE")) return temporalOperand() match {
-        case Left(t) => prop < lit(t)
-        case Right((t1, _)) => prop < lit(t1)
+        case TInstant(t) => prop < lit(t)
+        case TPeriod(t1, _) => prop < lit(t1)
+        case TProp(other) => prop < col(other)
       }
       if (acceptKw("AFTER")) return temporalOperand() match {
-        case Left(t) => prop > lit(t)
-        case Right((_, t2)) => prop > lit(t2)
+        case TInstant(t) => prop > lit(t)
+        case TPeriod(_, t2) => prop > lit(t2)
+        case TProp(other) => prop > col(other)
       }
       if (acceptKw("TEQUALS")) return temporalOperand() match {
-        case Left(t) => prop === lit(t)
-        case Right(_) => fail("TEQUALS takes an instant, not a period")
+        case TInstant(t) => prop === lit(t)
+        case TProp(other) => prop === col(other)
+        case _: TPeriod => fail("TEQUALS takes an instant, not a period")
       }
       val negated = acceptKw("NOT")
       if (acceptKw("LIKE")) {

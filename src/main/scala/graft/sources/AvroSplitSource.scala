@@ -106,8 +106,17 @@ private[sources] object AvroSplitSource {
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq.flatMap(_.split(",").map(_.trim))
-    val all = single ++ multi
+    // DataFrameReader.load(p1, p2, ...) ships the multi-path form as a JSON
+    // string array under "paths" (see Spark's DataFrameReader); a plain
+    // comma-separated value is accepted too for hand-set options
+    val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
+      val trimmed = raw.trim
+      if (trimmed.startsWith("["))
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(trimmed, classOf[Array[String]]).toSeq
+      else trimmed.split(",").map(_.trim).toSeq
+    }
+    val all = (single ++ multi).filter(_.nonEmpty)
     require(all.nonEmpty, "graft-avro: no 'path' given (use .load(path))")
     all
   }
@@ -237,7 +246,13 @@ private[sources] class AvroSplitReader(split: AvroSplit, required: StructType,
 
   private val conf = AvroSplitSource.confFromEntries(confEntries)
   private val in = new FsInput(new Path(split.path), conf)
-  private val reader: DataFileReader[GenericRecord] =
+  // fieldPos(i) = position of required field i in the PROJECTED record
+  // schema, resolved once here — get() runs per row and a string-keyed
+  // Schema.getField lookup per field per record is measurable waste on the
+  // ingest kernel; -1 marks a required field the writer schema lacks
+  // (possible when later files carry fewer fields than the inferred first
+  // one) and lands as null.
+  private val (reader: DataFileReader[GenericRecord], fieldPos: Array[Int]) =
     // if anything in reader construction / projection / sync throws (a
     // corrupt or truncated container), close the input — close() is never
     // reached and the open stream would leak a descriptor per task attempt
@@ -260,14 +275,15 @@ private[sources] class AvroSplitReader(split: AvroSplit, required: StructType,
       // first sync marker at-or-after the range start; a range beginning
       // mid-block skips to the next block (its owner is the previous range)
       r.sync(split.start)
-      r
+      val pos = required.fieldNames.map(n =>
+        Option(projected.getField(n)).map(_.pos).getOrElse(-1))
+      (r, pos)
     } catch {
       case t: Throwable =>
         try in.close() catch { case suppressed: Throwable => t.addSuppressed(suppressed) }
         throw t
     }
   private val fieldTypes = required.fields.map(_.dataType)
-  private val fieldNames = required.fieldNames
   private var current: GenericRecord = _
 
   override def next(): Boolean =
@@ -277,10 +293,11 @@ private[sources] class AvroSplitReader(split: AvroSplit, required: StructType,
     } else false
 
   override def get(): InternalRow = {
-    val values = new Array[Any](fieldNames.length)
+    val values = new Array[Any](fieldPos.length)
     var i = 0
-    while (i < fieldNames.length) {
-      values(i) = AvroSchemaMap.toCatalyst(current.get(fieldNames(i)), fieldTypes(i))
+    while (i < fieldPos.length) {
+      val p = fieldPos(i)
+      values(i) = if (p < 0) null else AvroSchemaMap.toCatalyst(current.get(p), fieldTypes(i))
       i += 1
     }
     InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))

@@ -83,7 +83,7 @@ object PipelineScale {
       val pairs = graft.ops.Dedup.minhashPairs(scored, "text", "doc_id")
       val cl = graft.ops.Dedup.clusters(pairs, "id_a", "id_b")
       // removal set = every member that is not its cluster representative
-      val rm = cl.filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      val rm = cl.filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
         .persist()
       (rm.count(), rm)
     }

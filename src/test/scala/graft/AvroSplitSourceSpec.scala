@@ -100,6 +100,33 @@ class AvroSplitSourceSpec extends SparkSpec {
       Option(err.getCause).exists(_.toString.contains("no files match")))
   }
 
+  test("multi-path load() reads the union of all paths") {
+    // DataFrameReader ships load(p1, p2) as a JSON string array under the
+    // "paths" option — the source must decode that form, not comma-split it
+    val schema: Schema = SchemaBuilder.record("page").fields()
+      .requiredLong("id").requiredString("name")
+      .optionalString("lang").requiredDouble("lon")
+      .endRecord()
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_avro_split2")
+    val f = dir2.resolve("part-0.avro").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    (NRows until NRows + 100).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong); rec.put("name", s"page-$i")
+      rec.put("lang", "l9"); rec.put("lon", 0.0)
+      w.append(rec)
+    }
+    w.close()
+    val df = spark.read.format("graft-avro").load(containerDir, dir2.toString)
+    assert(df.count() === (NRows + 100).toLong)
+    assert(df.select("id").distinct().count() === (NRows + 100).toLong)
+    // hand-set comma form keeps working for direct option users
+    val comma = spark.read.format("graft-avro")
+      .option("paths", s"$containerDir,${dir2.toString}").load()
+    assert(comma.count() === (NRows + 100).toLong)
+  }
+
   test("session hadoop conf reaches the executor-side reader") {
     // spark.hadoop.* settings must survive into the reader's Configuration
     // (a bare `new Configuration()` would drop credentials/endpoints on a

@@ -70,6 +70,26 @@ class EcqlSpec extends SparkSpec {
       Ecql.toColumn("dtg TEQUALS 2010-07-01T00:00:00Z/2010-07-31T00:00:00Z"))
   }
 
+  test("temporal: quoted instants in every period position; property operands") {
+    // quoted t1 AND t2 (GeoTools accepts either form in either slot)
+    assert(ids("dtg DURING '2010-07-01T00:00:00Z'/'2010-07-31T00:00:00Z'") === Seq(1L))
+    assert(ids("dtg BEFORE '2010-07-02T00:00:00Z'/'2010-08-01T00:00:00Z'") === Seq(3L))
+    // quoted instant on the far side of a duration, both directions
+    assert(ids("dtg AFTER '2010-08-01T00:00:00Z'/P60D") === Seq(4L))
+    assert(ids("dtg BEFORE P1D/'2010-07-03T00:00:00Z'") === Seq(3L))
+    // BEFORE/AFTER/TEQUALS against ANOTHER TIMESTAMP PROPERTY
+    // (GeoTools: `dtg AFTER end_ts` is a column-to-column comparison)
+    val withEnd = df.withColumn("end_ts", to_timestamp(lit("2010-08-01T00:00:00Z")))
+    def ids2(f: String): Seq[Long] =
+      Ecql.where(withEnd, f).select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids2("dtg AFTER end_ts") === Seq(2L, 4L))
+    assert(ids2("dtg BEFORE end_ts") === Seq(1L, 3L, 5L))
+    assert(ids2("dtg TEQUALS end_ts") === Seq())
+    assert(ids2("dtg TEQUALS dtg") === Seq(1L, 2L, 3L, 4L, 5L))
+    // a property ref is not a period
+    intercept[Ecql.EcqlParseException](Ecql.toColumn("dtg DURING end_ts"))
+  }
+
   test("spatial: INTERSECTS/WITHIN/BBOX/DWITHIN match the typed-Column query") {
     val poly = "POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28))"
     val typed = df.filter(st.intersects(col("geom"), st.geomFromWKT(lit(poly))))

@@ -32,11 +32,20 @@ class PlanGuardSpec extends SparkSpec {
     "q_tube_select", "q_tube_line",     // broadcast track, non-equi band
     "q_proximity_meters")               // broadcast probe ring, non-equi
 
+  /** Optimizer size estimate of a join side: the SMJ's immediate children
+    * are Sort/Exchange nodes EnsureRequirements inserted after planning,
+    * which usually carry no logicalLink — walk down (pre-order) to the
+    * NEAREST descendant that does. Without the walk the check is vacuous;
+    * the canary test below pins that it can actually fire. */
+  private def sideSize(side: SparkPlan): Option[BigInt] = {
+    val link = side.collectFirst { case p if p.logicalLink.isDefined => p.logicalLink.get }
+    link.map(_.stats.sizeInBytes)
+  }
+
   private def offendingSmj(plan: SparkPlan): Seq[String] =
     plan.collect { case j: SortMergeJoinExec =>
       j.children.flatMap { side =>
-        side.logicalLink.flatMap { l =>
-          val sz = l.stats.sizeInBytes
+        sideSize(side).flatMap { sz =>
           // "known" = a real estimate, not the conservative fallback
           // (fallbacks multiply out near 8 EiB and always exceed this)
           if (sz < BroadcastBytes)
@@ -45,6 +54,23 @@ class PlanGuardSpec extends SparkSpec {
         }
       }
     }.flatten
+
+  test("plan guard canary: the SMJ small-side check can fire") {
+    // with broadcast disabled, a tiny-known-stats equi-join plans as SMJ
+    // with both sides' estimates far under 10 MB — the guard MUST flag it,
+    // or the logicalLink walk has gone vacuous
+    withSqlConf("spark.sql.adaptive.enabled" -> "false",
+                "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import spark.implicits._
+      val a = Seq((1, "x"), (2, "y")).toDF("k", "va")
+      val b = Seq((1, "p"), (2, "q")).toDF("k", "vb")
+      val plan = a.join(b, "k").queryExecution.executedPlan
+      assert(plan.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"canary expected a SortMergeJoin:\n$plan")
+      assert(offendingSmj(plan).nonEmpty,
+        s"SMJ small-side guard failed to flag a known-tiny merge join:\n$plan")
+    }
+  }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"plan guard: $name") {
