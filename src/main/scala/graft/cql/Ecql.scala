@@ -412,8 +412,15 @@ object Ecql {
         val p1 = tok.pos
         val text = expect(Tok.Ident, "ISO-8601 duration or property name")
         // duration only when a '/' follows; a bare identifier is a column
-        // reference (prop-vs-prop temporal comparison)
-        if (tok.kind != Tok.Slash) return TProp(text)
+        // reference (prop-vs-prop temporal comparison) — EXCEPT an ident
+        // that is itself a valid ISO duration, a near-certain user error
+        // (forgot the period's '/instant' half) that would otherwise
+        // surface much later as an opaque unresolved-column failure
+        if (tok.kind != Tok.Slash) {
+          if (isIsoDuration(text))
+            fail(s"duration '$text' must form a period (duration/instant or instant/duration)", p1)
+          return TProp(text)
+        }
         advance() // '/'
         val (raw, p2) = instantToken()
         val t2 = parseInstant(raw, p2)
@@ -431,6 +438,22 @@ object Ecql {
         val (raw2, p2) = instantToken()
         TPeriod(t1, parseInstant(raw2, p2))
       }
+    }
+
+    /** True when the text parses as an ISO-8601 duration (P1D, PT2H30M,
+      * P1MT10S, ...) — used only to improve the error for a duration left
+      * dangling without its period half. */
+    private def isIsoDuration(s: String): Boolean = {
+      val up = s.toUpperCase
+      if (!up.startsWith("P") || up.length < 2) false
+      else try {
+        val ti = up.indexOf('T')
+        val (datePart, timePart) =
+          if (ti < 0) (up, "") else (up.substring(0, ti), "P" + up.substring(ti))
+        if (datePart.length > 1) java.time.Period.parse(datePart)
+        if (timePart.nonEmpty) java.time.Duration.parse(timePart)
+        datePart.length > 1 || timePart.nonEmpty
+      } catch { case _: Exception => false }
     }
 
     /** Raw text + position of an instant token, quoted or bare. */

@@ -112,8 +112,12 @@ private[sources] object AvroSplitSource {
     val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
       val trimmed = raw.trim
       if (trimmed.startsWith("["))
-        new com.fasterxml.jackson.databind.ObjectMapper()
+        try new com.fasterxml.jackson.databind.ObjectMapper()
           .readValue(trimmed, classOf[Array[String]]).toSeq
+        catch { // a hand-set [-leading character-class glob, not JSON
+          case _: com.fasterxml.jackson.core.JacksonException =>
+            trimmed.split(",").map(_.trim).toSeq
+        }
       else trimmed.split(",").map(_.trim).toSeq
     }
     val all = (single ++ multi).filter(_.nonEmpty)

@@ -125,6 +125,12 @@ class AvroSplitSourceSpec extends SparkSpec {
     val comma = spark.read.format("graft-avro")
       .option("paths", s"$containerDir,${dir2.toString}").load()
     assert(comma.count() === (NRows + 100).toLong)
+    // a hand-set [-leading CHARACTER-CLASS GLOB is not JSON: it must fall
+    // through to glob expansion (reaching listFiles), not die in Jackson
+    val globErr = intercept[Exception](
+      spark.read.format("graft-avro").option("paths", "[0-9]nope/*.avro").load().count())
+    assert(globErr.toString.contains("no files match") ||
+      Option(globErr.getCause).exists(_.toString.contains("no files match")))
   }
 
   test("session hadoop conf reaches the executor-side reader") {

@@ -88,6 +88,12 @@ class EcqlSpec extends SparkSpec {
     assert(ids2("dtg TEQUALS dtg") === Seq(1L, 2L, 3L, 4L, 5L))
     // a property ref is not a period
     intercept[Ecql.EcqlParseException](Ecql.toColumn("dtg DURING end_ts"))
+    // a DANGLING duration (user forgot the '/instant' half) fails AT PARSE
+    // TIME with a positioned message, not later as an unresolved column
+    val dangling = intercept[Ecql.EcqlParseException](Ecql.toColumn("dtg AFTER PT2H"))
+    assert(dangling.getMessage.contains("must form a period"))
+    // ...but idents that merely START with P stay ordinary column refs
+    Ecql.toColumn("dtg AFTER Pfoo") // parses (column named Pfoo), no throw
   }
 
   test("spatial: INTERSECTS/WITHIN/BBOX/DWITHIN match the typed-Column query") {
