@@ -116,13 +116,29 @@ private[sources] object AvroSplitSource {
           .readValue(trimmed, classOf[Array[String]]).toSeq
         catch { // a hand-set [-leading character-class glob, not JSON
           case _: com.fasterxml.jackson.core.JacksonException =>
-            trimmed.split(",").map(_.trim).toSeq
+            splitPaths(trimmed)
         }
-      else trimmed.split(",").map(_.trim).toSeq
+      else splitPaths(trimmed)
     }
     val all = (single ++ multi).filter(_.nonEmpty)
     require(all.nonEmpty, "graft-avro: no 'path' given (use .load(path))")
     all
+  }
+
+  /** Split a hand-set comma-separated `paths` value, but not inside `{}` —
+    * Hadoop brace globs (`/data/{2024,2025}/x.avro`) are one path. */
+  private def splitPaths(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' => depth = math.max(0, depth - 1); cur += '}'
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString.trim
+    out.result().filter(_.nonEmpty)
   }
 
   /** The session's Hadoop configuration (spark.hadoop.* and

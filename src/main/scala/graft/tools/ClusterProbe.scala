@@ -20,11 +20,28 @@ object ClusterProbe {
     def edges = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(expr(EDGE_WHERE))
       .selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b")
-    // what does one round's plan look like? count exchanges
-    val one = graft.ops.Dedup.clusters(edges, "id_a", "id_b", maxIter = 1)
-    println("PLAN:\n" + one.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Exchange") || l.contains("partitioning"))
-      .mkString("\n"))
+    // what does each ROUND's plan look like? clusters() materializes its
+    // rounds eagerly (localCheckpoint + count per iteration), so the
+    // returned frame's plan is just a Scan over the checkpointed RDD —
+    // inspecting it would count zero exchanges for ANY implementation.
+    // Capture the real per-round executed plans as they run instead.
+    val roundExchanges = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        roundExchanges.add(
+          qe.executedPlan.toString.linesIterator.count(_.contains("Exchange")))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    graft.ops.Dedup.clusters(edges, "id_a", "id_b", maxIter = 3).count()
+    Thread.sleep(2000) // ExecutionListenerManager delivers asynchronously
+    spark.listenerManager.unregister(listener)
+    println("per-round exchange counts (init + 3 label-prop rounds + final): " +
+      roundExchanges.toArray.mkString(", "))
     def time(label: String)(body: => Long): Unit = {
       val walls = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); val n = body

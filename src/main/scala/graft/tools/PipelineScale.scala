@@ -61,10 +61,16 @@ object PipelineScale {
     }
 
     // 1. geoparse: the LCG lon/lat projection over the page stream (the
-    // text column is never touched — byte-identical-text invariant)
+    // text column is never touched — byte-identical-text invariant).
+    // The probe aggregates a hash of every derived column so column
+    // pruning cannot drop the projection being measured (a bare count
+    // collapses to a Range count and times nothing).
     val pages = WebPages.syntheticPages(spark, rows, partitions = 128)
-    time("geoparse", rows, "pure projection, no shuffle") {
-      (pages.agg(count(lit(1))).head().getLong(0), ())
+    time("geoparse", rows, "projection forced via hash fold, no row shuffle") {
+      // bit_xor, not sum: a 40M-row sum of xxhash64 longs overflows ANSI
+      val r = pages.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, lon, lat, sec, geom))")).head()
+      (r.getLong(0), ())
     }
 
     // 2. text-quality filter on the document tier (docs 0..docRows share
@@ -75,7 +81,10 @@ object PipelineScale {
       .withColumn("lang", tx.langGuess(col("text")))
       .filter(col("q") > 0.1)
     val kept = time("quality_filter", docRows, "codegen'd exprs, narrow") {
-      val n = scored.count(); (n, n)
+      // count() alone would let pruning skip langGuess (only q feeds the
+      // filter); fold lang into a hash so the stage runs what it claims
+      val r = scored.agg(count(lit(1)), expr("bit_xor(xxhash64(lang))")).head()
+      val n = r.getLong(0); (n, n)
     }
 
     // 3. minhash near-dup removal over the filtered docs

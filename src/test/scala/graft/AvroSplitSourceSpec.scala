@@ -131,6 +131,11 @@ class AvroSplitSourceSpec extends SparkSpec {
       spark.read.format("graft-avro").option("paths", "[0-9]nope/*.avro").load().count())
     assert(globErr.toString.contains("no files match") ||
       Option(globErr.getCause).exists(_.toString.contains("no files match")))
+    // a BRACE glob contains a comma but is ONE path — the comma split must
+    // not break it apart (Hadoop fs.globStatus supports {a,b} alternation)
+    val brace = spark.read.format("graft-avro")
+      .option("paths", s"{$containerDir,${dir2.toString}}/part-0.avro").load()
+    assert(brace.count() === (NRows + 100).toLong)
   }
 
   test("session hadoop conf reaches the executor-side reader") {
