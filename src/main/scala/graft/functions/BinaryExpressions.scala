@@ -77,45 +77,112 @@ case class FrameSample(left: Expression, right: Expression) extends BinaryExpres
 }
 
 /** bin_encode(idHash int, lat float, lon float, dtgSec long) → 16-byte
-  * little-endian viewer record — reference BIN export format
-  * (geomesa-filter/.../Convert2ViewerFunction.scala:24-100: id-hash, lat,
-  * lon, seconds packed LE). */
+  * little-endian viewer record, byte-compatible with the reference BIN
+  * export format (geomesa-filter/.../Convert2ViewerFunction.scala:119-135,
+  * `put`): track-id hash @0, whole seconds @4, lat @8, lon @12, all LE.
+  * The 24-byte "reachback" form appends a 64-bit label @16 (:85-93). */
 object BinEncodeRT {
   def encode(idHash: Int, lat: Float, lon: Float, dtgSec: Long): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(idHash).putFloat(lat).putFloat(lon).putInt(dtgSec.toInt)
+    bb.putInt(idHash).putInt(dtgSec.toInt).putFloat(lat).putFloat(lon)
     bb.array()
   }
-  def decodeLat(b: Array[Byte]): Float =
-    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat(4)
-  def decodeLon(b: Array[Byte]): Float =
-    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat(8)
+  def encodeExt(idHash: Int, lat: Float, lon: Float, dtgSec: Long,
+                label: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(idHash).putInt(dtgSec.toInt).putFloat(lat).putFloat(lon).putLong(label)
+    bb.array()
+  }
   def decodeId(b: Array[Byte]): Int =
     java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0)
   def decodeSec(b: Array[Byte]): Int =
-    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(12)
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+  def decodeLat(b: Array[Byte]): Float =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat(8)
+  def decodeLon(b: Array[Byte]): Float =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat(12)
+  def decodeLabel(b: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(16)
+  /** Track-id key: Java String.hashCode, what the reference writes at @0
+    * (Convert2ViewerFunction.scala:131 `trackId.map(_.hashCode)`). */
+  def trackHash(id: org.apache.spark.unsafe.types.UTF8String): Int =
+    id.toString.hashCode
+  /** convert2viewer's label derivation (Convert2ViewerFunction.scala:43):
+    * the first 8 bytes of the id, summed little-endian into a long. */
+  def idLabel(id: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var out = 0L
+    var i = 0
+    while (i < bytes.length && i < 8) { out += (bytes(i) & 0xffL) << (8 * i); i += 1 }
+    out
+  }
   /** Full record decode as an InternalRow (the struct kernel [[BinDecode]]
-    * calls from interpreted and generated code alike). */
+    * calls from interpreted and generated code alike); 24-byte records
+    * carry the label, 16-byte ones decode it as null. */
   def decodeRow(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
     org.apache.spark.sql.catalyst.InternalRow(
-      decodeId(b), decodeLat(b), decodeLon(b), decodeSec(b))
+      decodeId(b), decodeLat(b), decodeLon(b), decodeSec(b),
+      if (b.length > 16) decodeLabel(b) else null)
 }
 
-/** bin_decode(binary) → struct<id_hash:int, lat:float, lon:float, sec:int> —
-  * the read half of [[BinEncode]] (reference Convert2ViewerFunction decode,
-  * geomesa-filter/.../Convert2ViewerFunction.scala:102-150). */
+/** bin_decode(binary) → struct<id_hash:int, lat:float, lon:float, sec:int,
+  * label:long> — the read half of [[BinEncode]] (reference
+  * Convert2ViewerFunction decode, :152-171: 24-byte records yield
+  * ExtendedValues with a label, 16-byte ones BasicValues → null label). */
 case class BinDecode(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StructType(Seq(
     StructField("id_hash", IntegerType, nullable = false),
     StructField("lat", FloatType, nullable = false),
     StructField("lon", FloatType, nullable = false),
-    StructField("sec", IntegerType, nullable = false)))
+    StructField("sec", IntegerType, nullable = false),
+    StructField("label", LongType, nullable = true)))
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(b: Any): Any =
     BinEncodeRT.decodeRow(b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"graft.functions.BinEncodeRT.decodeRow($b)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** java_string_hash(string) → int — the exact track-id key the reference
+  * BIN format stores (Java String.hashCode, not Murmur3). */
+case class JavaStringHash(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    BinEncodeRT.trackHash(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.BinEncodeRT.trackHash($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** bin_label(string) → long — convert2viewer's id→label packing (first 8
+  * id bytes summed LE), for the 24-byte reachback export. */
+case class BinLabel(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    BinEncodeRT.idLabel(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.BinEncodeRT.idLabel($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** The 24-byte extended record: [[BinEncode]] plus a 64-bit label. */
+case class BinEncodeExt(first: Expression, second: Expression, third: Expression,
+                        fourth: Expression, fifth: Expression)
+    extends QuinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def children: Seq[Expression] = Seq(first, second, third, fourth, fifth)
+  override protected def nullSafeEval(id: Any, lat: Any, lon: Any, sec: Any, label: Any): Any =
+    BinEncodeRT.encodeExt(id.asInstanceOf[Int], lat.asInstanceOf[Float],
+      lon.asInstanceOf[Float], sec.asInstanceOf[Long], label.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d, e) =>
+      s"graft.functions.BinEncodeRT.encodeExt($a, $b, $c, $d, $e)")
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3), newChildren(4))
 }
 
 case class BinEncode(first: Expression, second: Expression, third: Expression, fourth: Expression)

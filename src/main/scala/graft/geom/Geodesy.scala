@@ -68,6 +68,53 @@ object Geodesy {
     WGS84_B * a * (sigma - dSigma)
   }
 
+  /** Vincenty DIRECT problem on WGS84: the destination point `meters`
+    * along `bearingDeg` (clockwise from north) from (lon, lat). Reference
+    * analog: VincentyModel.moveWithBearingAndDistance
+    * (geomesa-utils/.../geohash/GeomDistance.scala); re-derived from the
+    * published direct formula (Vincenty 1975), not copied.
+    * @return (lon, lat) of the destination, degrees */
+  def vincentyMove(lon: Double, lat: Double, bearingDeg: Double,
+                   meters: Double): (Double, Double) = {
+    val alpha1 = math.toRadians(bearingDeg)
+    val sinA1 = math.sin(alpha1); val cosA1 = math.cos(alpha1)
+    val tanU1 = (1 - WGS84_F) * math.tan(math.toRadians(lat))
+    val cosU1 = 1 / math.sqrt(1 + tanU1 * tanU1)
+    val sinU1 = tanU1 * cosU1
+    val sigma1 = math.atan2(tanU1, cosA1)
+    val sinAlpha = cosU1 * sinA1
+    val cosSqAlpha = 1 - sinAlpha * sinAlpha
+    val uSq = cosSqAlpha * (WGS84_A * WGS84_A - WGS84_B * WGS84_B) / (WGS84_B * WGS84_B)
+    val a = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val b = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    var sigma = meters / (WGS84_B * a)
+    var cos2SigmaM = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var iter = 0
+    var converged = false
+    while (iter < 100 && !converged) {
+      cos2SigmaM = math.cos(2 * sigma1 + sigma)
+      sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+      val dSigma = b * sinSigma * (cos2SigmaM + b / 4 *
+        (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+          b / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+      val prev = sigma
+      sigma = meters / (WGS84_B * a) + dSigma
+      if (math.abs(sigma - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    val tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosA1
+    val lat2 = math.atan2(sinU1 * cosSigma + cosU1 * sinSigma * cosA1,
+      (1 - WGS84_F) * math.sqrt(sinAlpha * sinAlpha + tmp * tmp))
+    val lambda = math.atan2(sinSigma * sinA1, cosU1 * cosSigma - sinU1 * sinSigma * cosA1)
+    val c = WGS84_F / 16 * cosSqAlpha * (4 + WGS84_F * (4 - 3 * cosSqAlpha))
+    val dL = lambda - (1 - c) * WGS84_F * sinAlpha *
+      (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+    val lon2 = lon + math.toDegrees(dL)
+    // normalize into ±180 (a move across the antimeridian must stay valid)
+    val lonN = if (lon2 > 180) lon2 - 360 else if (lon2 < -180) lon2 + 360 else lon2
+    (lonN, math.toDegrees(lat2))
+  }
+
   /** Degrees of longitude/latitude that over-cover `meters` at `lat`
    *  (reference rewrite: DWithin meters → degree buffer,
    *  FilterHelper.scala:111-123). Uses the shrunk parallel for lon so the

@@ -56,12 +56,21 @@ object FeatureSpec {
       val isDefaultGeom = tokens(0).startsWith("*")
       val name = if (isDefaultGeom) tokens(0).drop(1) else tokens(0)
       val dt = tokens(1) match {
+        case "List" => ArrayType(StringType) // reference default: List[String]
+        case "Map" => MapType(StringType, StringType) // default: Map[String,String]
         case ListRe(el) => ArrayType(simpleType(el))
         case MapRe(k, v) => MapType(simpleType(k), simpleType(v))
         case other => simpleType(other)
       }
       val mb = new MetadataBuilder()
-      mb.putString("specType", tokens(1))
+      // bare List/Map normalize to their defaulted forms, as the
+      // reference's encodeType does (SimpleFeatureTypesTest:115-157)
+      val normType = tokens(1) match {
+        case "List" => "List[String]"
+        case "Map" => "Map[String,String]"
+        case t => t
+      }
+      mb.putString("specType", normType)
       if (isDefaultGeom) mb.putBoolean("defaultGeom", true)
       tokens.drop(2).foreach { opt =>
         opt.split("=") match {
@@ -110,7 +119,11 @@ object FeatureSpec {
     case other => throw new IllegalArgumentException(s"unsupported element: $other")
   }
 
-  /** Name of the default geometry column, if the spec declared one. */
+  /** Name of the default geometry column: the `*`-marked one, else — as
+    * the reference resolves it (SimpleFeatureTypesTest:88-91 "handle no
+    * explicit geometry") — the first geometry-typed column. */
   def defaultGeometry(st: StructType): Option[String] =
     st.fields.find(f => f.metadata.contains("defaultGeom")).map(_.name)
+      .orElse(st.fields.find(f => f.metadata.contains("specType") &&
+        GeometryTypes(f.metadata.getString("specType"))).map(_.name))
 }

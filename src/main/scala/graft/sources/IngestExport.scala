@@ -172,27 +172,45 @@ object IngestExport {
   def toDelimited(df: DataFrame, geomCol: String): DataFrame =
     df.withColumn(geomCol, st.asText(col(geomCol)))
 
-  /** BIN viewer export (reference F6): 16-byte LE records. */
+  /** BIN viewer export (reference F6): 16-byte LE records, byte-compatible
+    * with the reference wire format — track key is Java String.hashCode of
+    * the id (Convert2ViewerFunction.scala:131), laid out id/sec/lat/lon. */
   def toBin(df: DataFrame, idCol: Column, latCol: Column, lonCol: Column,
             secCol: Column): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val e = graft.functions.BinEncode(
-      ColumnShim.expression(hash(idCol)),
+      graft.functions.JavaStringHash(ColumnShim.expression(idCol.cast("string"))),
       ColumnShim.expression(latCol.cast("float")),
       ColumnShim.expression(lonCol.cast("float")),
       ColumnShim.expression(secCol.cast("long")))
     df.select(ColumnShim.column(e).as("bin"))
   }
 
-  /** BIN viewer ingest — the read half of [[toBin]]: 16-byte LE records
-    * decoded back to (id_hash, lat, lon, sec) columns. */
+  /** 24-byte "reachback" BIN export: [[toBin]] plus a 64-bit label column
+    * (reference Convert2ViewerFunction.scala:85-93). */
+  def toBinExt(df: DataFrame, idCol: Column, latCol: Column, lonCol: Column,
+               secCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val e = graft.functions.BinEncodeExt(
+      graft.functions.JavaStringHash(ColumnShim.expression(idCol.cast("string"))),
+      ColumnShim.expression(latCol.cast("float")),
+      ColumnShim.expression(lonCol.cast("float")),
+      ColumnShim.expression(secCol.cast("long")),
+      ColumnShim.expression(labelCol.cast("long")))
+    df.select(ColumnShim.column(e).as("bin"))
+  }
+
+  /** BIN viewer ingest — the read half of [[toBin]]/[[toBinExt]]: 16- or
+    * 24-byte LE records decoded back to (id_hash, lat, lon, sec[, label])
+    * columns; label is null for the 16-byte basic form. */
   def fromBin(df: DataFrame, binCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val rec = ColumnShim.column(graft.functions.BinDecode(
       ColumnShim.expression(col(binCol))))
     df.select(rec.as("__r")).select(
       col("__r.id_hash").as("id_hash"), col("__r.lat").as("lat"),
-      col("__r.lon").as("lon"), col("__r.sec").as("sec"))
+      col("__r.lon").as("lon"), col("__r.sec").as("sec"),
+      col("__r.label").as("label"))
   }
 
   /** Fixed-width ingest (reference S8, FixedWidthConverters): offset/length
