@@ -110,7 +110,7 @@ object BinEncodeRT {
   /** convert2viewer's label derivation (Convert2ViewerFunction.scala:43):
     * the first 8 bytes of the id, summed little-endian into a long. */
   def idLabel(id: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val bytes = id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = id.getBytes // UTF8String already holds the UTF-8 bytes
     var out = 0L
     var i = 0
     while (i < bytes.length && i < 8) { out += (bytes(i) & 0xffL) << (8 * i); i += 1 }
@@ -122,7 +122,9 @@ object BinEncodeRT {
   def decodeRow(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
     org.apache.spark.sql.catalyst.InternalRow(
       decodeId(b), decodeLat(b), decodeLon(b), decodeSec(b),
-      if (b.length > 16) decodeLabel(b) else null)
+      // a full 24-byte record is required for the label (a 17-23-byte
+      // truncated record must not crash the whole scan on getLong(16))
+      if (b.length >= 24) decodeLabel(b) else null)
 }
 
 /** bin_decode(binary) → struct<id_hash:int, lat:float, lon:float, sec:int,

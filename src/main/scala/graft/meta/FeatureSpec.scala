@@ -34,19 +34,8 @@ object FeatureSpec {
   private val MapRe = """Map\[(\w+),(\w+)\]""".r
 
   /** Split on commas that are not inside `List[..]`/`Map[..,..]` brackets. */
-  private def splitAttrs(spec: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    spec.foreach {
-      case '[' => depth += 1; cur += '['
-      case ']' => depth -= 1; cur += ']'
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.result()
-  }
+  private def splitAttrs(spec: String): Seq[String] =
+    graft.util.Splits.topLevel(spec, '[', ']')
 
   /** Parse one spec string into a StructType. */
   def structType(spec: String): StructType = {
@@ -55,21 +44,17 @@ object FeatureSpec {
       require(tokens.length >= 2, s"bad spec attribute: $part")
       val isDefaultGeom = tokens(0).startsWith("*")
       val name = if (isDefaultGeom) tokens(0).drop(1) else tokens(0)
-      val dt = tokens(1) match {
-        case "List" => ArrayType(StringType) // reference default: List[String]
-        case "Map" => MapType(StringType, StringType) // default: Map[String,String]
-        case ListRe(el) => ArrayType(simpleType(el))
-        case MapRe(k, v) => MapType(simpleType(k), simpleType(v))
-        case other => simpleType(other)
+      // one match yields both the Spark type and the normalized spec form
+      // (bare List/Map default as the reference's encodeType does,
+      // SimpleFeatureTypesTest:115-157)
+      val (dt, normType) = tokens(1) match {
+        case "List" => (ArrayType(StringType), "List[String]")
+        case "Map" => (MapType(StringType, StringType), "Map[String,String]")
+        case t @ ListRe(el) => (ArrayType(simpleType(el)), t)
+        case t @ MapRe(k, v) => (MapType(simpleType(k), simpleType(v)), t)
+        case other => (simpleType(other), other)
       }
       val mb = new MetadataBuilder()
-      // bare List/Map normalize to their defaulted forms, as the
-      // reference's encodeType does (SimpleFeatureTypesTest:115-157)
-      val normType = tokens(1) match {
-        case "List" => "List[String]"
-        case "Map" => "Map[String,String]"
-        case t => t
-      }
       mb.putString("specType", normType)
       if (isDefaultGeom) mb.putBoolean("defaultGeom", true)
       tokens.drop(2).foreach { opt =>

@@ -127,19 +127,8 @@ private[sources] object AvroSplitSource {
 
   /** Split a hand-set comma-separated `paths` value, but not inside `{}` —
     * Hadoop brace globs (`/data/{2024,2025}/x.avro`) are one path. */
-  private def splitPaths(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    s.foreach {
-      case '{' => depth += 1; cur += '{'
-      case '}' => depth = math.max(0, depth - 1); cur += '}'
-      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
-      case c => cur += c
-    }
-    out += cur.toString.trim
-    out.result().filter(_.nonEmpty)
-  }
+  private def splitPaths(s: String): Seq[String] =
+    graft.util.Splits.topLevel(s, '{', '}', trim = true).filter(_.nonEmpty)
 
   /** The session's Hadoop configuration (spark.hadoop.* and
     * per-session overrides included) — a bare `new Configuration()` would

@@ -179,11 +179,20 @@ object IngestExport {
             secCol: Column): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val e = graft.functions.BinEncode(
-      graft.functions.JavaStringHash(ColumnShim.expression(idCol.cast("string"))),
+      ColumnShim.expression(binTrackKey(idCol)),
       ColumnShim.expression(latCol.cast("float")),
       ColumnShim.expression(lonCol.cast("float")),
       ColumnShim.expression(secCol.cast("long")))
     df.select(ColumnShim.column(e).as("bin"))
+  }
+
+  /** Track key for a BIN record: Java String.hashCode of the id, with the
+    * reference's missing-id convention — a null id writes key 0
+    * (`trackId.map(_.hashCode).getOrElse(0)`), it does not null the record. */
+  private def binTrackKey(idCol: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    coalesce(ColumnShim.column(
+      graft.functions.JavaStringHash(ColumnShim.expression(idCol.cast("string")))), lit(0))
   }
 
   /** 24-byte "reachback" BIN export: [[toBin]] plus a 64-bit label column
@@ -192,11 +201,11 @@ object IngestExport {
                secCol: Column, labelCol: Column): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val e = graft.functions.BinEncodeExt(
-      graft.functions.JavaStringHash(ColumnShim.expression(idCol.cast("string"))),
+      ColumnShim.expression(binTrackKey(idCol)),
       ColumnShim.expression(latCol.cast("float")),
       ColumnShim.expression(lonCol.cast("float")),
       ColumnShim.expression(secCol.cast("long")),
-      ColumnShim.expression(labelCol.cast("long")))
+      ColumnShim.expression(coalesce(labelCol.cast("long"), lit(0L))))
     df.select(ColumnShim.column(e).as("bin"))
   }
 

@@ -38,9 +38,13 @@ object ClusterProbe {
     }
     spark.listenerManager.register(listener)
     graft.ops.Dedup.clusters(edges, "id_a", "id_b", maxIter = 3).count()
-    Thread.sleep(2000) // ExecutionListenerManager delivers asynchronously
+    Thread.sleep(5000) // ExecutionListenerManager delivers asynchronously
     spark.listenerManager.unregister(listener)
-    println("per-round exchange counts (init + 3 label-prop rounds + final): " +
+    // each round fires MORE than one execution (localCheckpoint + the
+    // convergence count both go through the listener), so report the raw
+    // per-execution series rather than claiming a 1:1 round mapping
+    println(s"exchange counts per query execution inside one clusters() call " +
+      s"(${roundExchanges.size()} executions; rounds fire ~2 each): " +
       roundExchanges.toArray.mkString(", "))
     def time(label: String)(body: => Long): Unit = {
       val walls = (1 to 3).map { _ =>

@@ -99,4 +99,16 @@ class BinFormatParitySpec extends SparkSpec {
         col("sec"), lit(7L) * col("sec")), "bin").orderBy("sec").collect()
     assert(ext.map(_.getLong(4)).toSeq === Seq(7L * 1404100800L, 7L * 1404100860L))
   }
+
+  test("a null id writes track key 0, not a null record (reference getOrElse(0))") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], 45.0, 49.0, 5L), (Some("t1"), 1.0, 2.0, 6L))
+      .toDF("fid", "lat", "lon", "sec")
+    val got = graft.sources.IngestExport.fromBin(
+      graft.sources.IngestExport.toBin(df, col("fid"), col("lat"), col("lon"), col("sec")),
+      "bin").orderBy("sec").collect()
+    assert(got.length === 2) // the null-id row is still a record
+    assert(got.head.getInt(0) === 0)
+    assert(got(1).getInt(0) === "t1".hashCode)
+  }
 }

@@ -53,7 +53,11 @@ class DmsParitySpec extends AnyFunSuite {
   }
 
   test("rejects too many degrees (DMSTest:66-68)") {
+    // the reference's own fixture ("98:04:61.17N") also has 61 seconds, so
+    // it cannot isolate the degree bound; keep it AND a seconds-in-range
+    // 98-degree latitude so the maxDeg=90 check is actually exercised
     assert(TextRT.dmsToDeg("98:04:61.17N").isNaN)
+    assert(TextRT.dmsToDeg("98:04:31.17N").isNaN)
     // …but 98 degrees IS a valid longitude: only the latitude bound is 90
     assert(TextRT.dmsToDeg("98:04:31.17E") === 98 + (4 + 31.17 / 60.0) / 60.0)
   }

@@ -54,7 +54,7 @@ class ExportParitySpec extends SparkSpec {
       .option("header", "true").option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(dir)
     val part = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).head
-    val lines = scala.io.Source.fromFile(part).getLines().toList
+    val lines = scala.util.Using.resource(scala.io.Source.fromFile(part))(_.getLines().toList)
     assert(lines.head === "derived,geom,dtg")
     assert(lines(1) === "\"myname,test\",POINT (45 49),1970-01-01 00:00:00")
   }
