@@ -16,10 +16,15 @@ object IngestExport {
 
   /** Delimited ingest (reference S6): read csv/tsv with a schema, derive a
     * WKB geometry from lon/lat (or WKT) columns. Expression-DSL transforms
-    * (reference Transformers.scala) are plain selectExpr strings. */
+    * (reference Transformers.scala) are plain selectExpr strings.
+    * Malformed rows are DROPPED, as the reference converter does
+    * (DelimitedTextConverter skips records whose transforms fail —
+    * DelimitedTextConverterTest:68 expects 2 of 3 rows) — at web-corpus
+    * scale a bad line must not poison the frame with nulls. */
   def csv(spark: SparkSession, path: String, schema: StructType,
           lonCol: String, latCol: String, delimiter: String = ","): DataFrame =
     spark.read.option("delimiter", delimiter).option("header", "true")
+      .option("mode", "DROPMALFORMED")
       .schema(schema).csv(path)
       .withColumn("geom", st.point(col(lonCol), col(latCol)))
 

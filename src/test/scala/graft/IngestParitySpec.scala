@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.st
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Parity with the reference's converter tests
+ * (geomesa-convert-text/.../DelimitedTextConverterTest.scala and
+ * geomesa-convert-fixedwidth/.../FixedWidthConverterTest.scala): the same
+ * input data — including the malformed row the converter must DROP — and
+ * the same derived values, through this engine's ingest surface (Spark
+ * readers + selectExpr transforms instead of the config-DSL).
+ */
+class IngestParitySpec extends SparkSpec {
+
+  private def writeLines(lines: Seq[String], suffix: String): String = {
+    val f = java.nio.file.Files.createTempFile("graft_ingest", suffix)
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  private val delimitedSchema = StructType(Seq(
+    StructField("oneup", StringType), StructField("word", StringType),
+    StructField("lat", DoubleType), StructField("lon", DoubleType)))
+
+  test("delimited: malformed rows drop, transforms derive (DelimitedTextConverterTest:36-82)") {
+    // the reference corpus: two good rows and one that must NOT survive
+    val path = writeLines(Seq(
+      "oneup,word,lat,lon",
+      "1,hello,45.0,45.0",
+      "2,world,90.0,90.0",
+      "willfail,hello"), ".csv")
+    val res = graft.sources.IngestExport.csv(spark, path, delimitedSchema, "lon", "lat")
+      .selectExpr("oneup", "concat(oneup, word) AS phrase", "lat", "lon", "geom")
+      .orderBy("oneup").collect()
+    assert(res.length === 2)
+    assert(res.map(_.getString(1)).toSeq === Seq("1hello", "2world"))
+    // "handle more derived fields than input fields": oneup passes through
+    assert(res.head.getString(0) === "1")
+    assert(res.map(_.getDouble(2)).toSeq === Seq(45.0, 90.0))
+  }
+
+  test("delimited: tab-delimited variant (DelimitedTextConverterTest:84-110)") {
+    val path = writeLines(Seq(
+      "oneup\tword\tlat\tlon",
+      "1\thello\t45.0\t45.0",
+      "2\tworld\t90.0\t90.0",
+      "willfail\thello"), ".tsv")
+    // NOTE the lat/lon projection: Spark only treats a short row as
+    // malformed against the REQUIRED schema, so dropping the bad row
+    // depends on selecting the columns the reference's transforms consume
+    // (its converter always evaluates the lat/lon casts)
+    val res = graft.sources.IngestExport.csv(spark, path, delimitedSchema,
+        "lon", "lat", delimiter = "\t")
+      .selectExpr("concat(oneup, word) AS phrase", "lat", "lon")
+      .orderBy("phrase").collect()
+    assert(res.map(_.getString(0)).toSeq === Seq("1hello", "2world"))
+  }
+
+  test("fixed width: offset/width slicing to points (FixedWidthConverterTest:30-58)") {
+    // "14555" -> lat = chars 2-3 = 45, lon = chars 4-5 = 55 -> POINT(55 45)
+    val path = writeLines(Seq("14555", "16565"), ".txt")
+    val res = graft.sources.IngestExport.fixedWidth(spark, path, Seq(
+        ("lat", 2, 2, "double"), ("lon", 4, 2, "double")))
+      .withColumn("wkt", st.asText(st.point(col("lon"), col("lat"))))
+      .orderBy("lat").collect()
+    assert(res.length === 2)
+    assert(res.map(_.getString(2)).toSeq === Seq("POINT (55 45)", "POINT (65 65)"))
+  }
+}
