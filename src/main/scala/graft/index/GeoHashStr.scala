@@ -68,4 +68,38 @@ object GeoHashStr {
     val (x0, y0, x1, y1) = decodeBounds(hash)
     ((x0 + x1) / 2, (y0 + y1) / 2)
   }
+
+  /**
+   * Geohash prefix cover of a closed box — at most ~`maxHashes` cells, for
+   * bucketing interop with external geohash-keyed systems (the engine's
+   * own covers are packed-long Z2/XZ2). Mirrors the reference's refinement
+   * (geomesa-utils/.../geohash/BoundingBox.scala:166-222,
+   * getGeoHashesFromBoundingBox): start from the common character prefix
+   * of the box's corners, expand one base-32 character at a time keeping
+   * cells whose CLOSED bounds intersect the box, recurse while under
+   * `maxHashes` cells and `maxChars` characters, and back off one level if
+   * the next level overshoots. The result can exceed `maxHashes` only when
+   * the very first expansion already does (as the reference's can).
+   */
+  def cover(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+            maxHashes: Int = 32, maxChars: Int = 8): Seq[String] = {
+    require(lonMin <= lonMax && latMin <= latMax, "box min must be <= max")
+    val eps = 1e-12 // reference: ur shifted one ulp-ish inward (:211)
+    val llHash = encode(lonMin, latMin, maxChars)
+    val urHash = encode(lonMax - eps, latMax - eps, maxChars)
+    val prefix = llHash.zip(urHash).takeWhile { case (a, b) => a == b }
+      .map(_._1).mkString
+    def intersects(h: String): Boolean = {
+      val (x0, y0, x1, y1) = decodeBounds(h)
+      x0 <= lonMax && lonMin <= x1 && y0 <= latMax && latMin <= y1
+    }
+    def minBoxes(cur: Seq[String]): Seq[String] = {
+      val kids = cur.flatMap(h => Alphabet.map(c => s"$h$c")).filter(intersects)
+      if (kids.size < maxHashes && kids.nonEmpty && kids.head.length < maxChars) {
+        val deeper = minBoxes(kids)
+        if (deeper.size > maxHashes) kids else deeper
+      } else kids
+    }
+    minBoxes(Seq(prefix))
+  }
 }

@@ -134,6 +134,28 @@ class GeoHashParitySpec extends AnyFunSuite {
     assert(!(sLon0 <= lLon0 && lLon1 <= sLon1 && sLat0 <= lLat0 && lLat1 <= sLat1))
   }
 
+  test("bbox covers match BoundingBoxTest's counts (BoundingBoxTest:22-48)") {
+    // box between the centers of dqb00 and dqbxx -> 24 cells
+    val (ax, ay) = GeoHashStr.decodeCenter("dqb00")
+    val (bx, by) = GeoHashStr.decodeCenter("dqbxx")
+    assert(GeoHashStr.cover(ax, ay, bx, by).size === 24)
+    assert(GeoHashStr.cover(-78, 38, -77.895029, 38.045834).size === 6)
+    assert(GeoHashStr.cover(-78, 38, -77.89503, 38.0458335).size === 6)
+    assert(GeoHashStr.cover(-50, -40, 50, 40).size === 8)
+    assert(GeoHashStr.cover(1, 1, 1, 1).size === 1)
+    // soundness, not just counts: the cells tile the box (every cover cell
+    // intersects it, and the box's corners land inside some cell)
+    val cover = GeoHashStr.cover(-78, 38, -77.895029, 38.045834)
+    assert(cover.forall { h =>
+      val (x0, y0, x1, y1) = GeoHashStr.decodeBounds(h)
+      x0 <= -77.895029 && -78 <= x1 && y0 <= 38.045834 && 38 <= y1
+    })
+    assert(cover.exists { h =>
+      val (x0, y0, x1, y1) = GeoHashStr.decodeBounds(h)
+      x0 <= -78 && -78 <= x1 && y0 <= 38 && 38 <= y1
+    })
+  }
+
   test("world-edge points land in the reference's corner cells (GeoHashTest:259-282)") {
     assert(GeoHashStr.encode(180.0, 0.5, 1) === "x")
     assert(GeoHashStr.encode(180.0, 90.0, 1) === "z")
