@@ -23,9 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * Avro ⇄ Spark schema/value mapping shared by the splittable source and the
  * [[IngestExport]] wrappers. Primitive fields map to Spark types; a union of
- * exactly {null, T} maps to nullable T; anything else (multi-branch unions,
- * records, arrays, maps, enums) lands as its string form — the documented
- * interchange fallback.
+ * exactly {null, T} maps to nullable T; records/arrays/maps map RECURSIVELY
+ * to struct/array/map columns (so `col("a.b")` replaces the reference's
+ * AvroPath `$.a.b` DSL); enums land as strings; multi-branch non-null
+ * unions and self-referential records fall back to their string form.
+ * Column pruning applies at the top level (a selected nested field decodes
+ * its whole top-level struct).
  */
 private[sources] object AvroSchemaMap {
 
@@ -39,15 +42,32 @@ private[sources] object AvroSchemaMap {
       else Schema.create(Schema.Type.STRING)
     } else s
 
-  def sparkType(s: Schema): DataType = nonNullBranch(s).getType match {
-    case Schema.Type.STRING => StringType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
-    case _ => StringType // records/arrays/maps/enums: string form
+  def sparkType(s: Schema): DataType = sparkType(s, Set.empty)
+
+  /** Recursive mapping; nested records/arrays/maps become real
+    * struct/array/map columns so `col("a.b")` subsumes the reference's
+    * AvroPath `$.a.b` extraction DSL (geomesa-convert-avro/.../AvroPath
+    * .scala) Spark-first. `seen` breaks self-referential record schemas
+    * (legal in Avro, unrepresentable as a finite StructType) to string. */
+  private def sparkType(s0: Schema, seen: Set[String]): DataType = {
+    val s = nonNullBranch(s0)
+    s.getType match {
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.LONG => LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+      case Schema.Type.RECORD if !seen(s.getFullName) =>
+        val inner = seen + s.getFullName
+        StructType(s.getFields.asScala.toSeq.map { f =>
+          StructField(f.name, sparkType(f.schema(), inner), nullable = true)
+        })
+      case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType, seen))
+      case Schema.Type.MAP => MapType(StringType, sparkType(s.getValueType, seen))
+      case _ => StringType // recursive records, multi-branch unions
+    }
   }
 
   def toStructType(avro: Schema): StructType =
@@ -55,13 +75,29 @@ private[sources] object AvroSchemaMap {
       StructField(f.name, sparkType(f.schema()), nullable = true)
     })
 
-  /** Avro runtime value → Catalyst internal value for the mapped type. */
+  /** Avro runtime value → Catalyst internal value for the mapped type.
+    * Nested structs resolve fields by name per row — fine off the flat
+    * hot path, where the reader stays positional. */
   def toCatalyst(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes()
     case (x, StringType) => UTF8String.fromString(x.toString)
+    case (r: org.apache.avro.generic.GenericRecord, st: StructType) =>
+      InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        st.fields.map { f =>
+          val av = Option(r.getSchema.getField(f.name)).map(g => r.get(g.pos())).orNull
+          toCatalyst(av.asInstanceOf[AnyRef], f.dataType)
+        }))
+    case (a: java.util.Collection[_], ArrayType(et, _)) =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        a.asScala.map(v => toCatalyst(v.asInstanceOf[AnyRef], et)).toArray)
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      val entries = m.asScala.toArray
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        entries.map { case (k, _) => UTF8String.fromString(k.toString): Any },
+        entries.map { case (_, v) => toCatalyst(v.asInstanceOf[AnyRef], vt) })
     case (x, _) => x // int/long/float/double/boolean box through unchanged
   }
 }

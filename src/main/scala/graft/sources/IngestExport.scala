@@ -36,8 +36,10 @@ object IngestExport {
    * syncs to an Avro block boundary, so one 10 GB container fans out over
    * the cluster instead of loading whole into one task (the 100-TB ingest
    * path). Schema comes from the first file's embedded Avro schema;
-   * primitive fields map to Spark types, anything else lands as its string
-   * form ([[AvroSchemaMap]]); column selection prunes at the Avro decoder.
+   * primitive fields map to Spark types and nested records/arrays/maps to
+   * struct/array/map columns — `col("a.b")` replaces the reference's
+   * AvroPath extraction DSL ([[AvroSchemaMap]]); column selection prunes
+   * at the Avro decoder (top-level fields).
    */
   def avro(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-avro").load(path)

@@ -138,6 +138,50 @@ class AvroSplitSourceSpec extends SparkSpec {
     assert(brace.count() === (NRows + 100).toLong)
   }
 
+  test("nested records/arrays/maps map to struct/array/map columns (AvroPath parity)") {
+    // the reference extracts nested Avro fields with AvroPath ($.loc.lon,
+    // array/map access); here the schema maps recursively so plain Spark
+    // column paths do the same job
+    val schema: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"page","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"loc","type":{"type":"record","name":"loc","fields":[
+        |    {"name":"lon","type":"double"},{"name":"lat","type":"double"},
+        |    {"name":"name","type":["null","string"],"default":null}]}},
+        |  {"name":"tags","type":{"type":"array","items":"string"}},
+        |  {"name":"attrs","type":{"type":"map","values":"int"}}
+        |]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_nested")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(1 << 6)
+    w.create(schema, dir.resolve("part-0.avro").toFile)
+    (0 until 500).foreach { i =>
+      val loc = new GenericData.Record(schema.getField("loc").schema())
+      loc.put("lon", i * 0.1); loc.put("lat", -i * 0.1)
+      loc.put("name", if (i % 3 == 0) null else s"city$i")
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong); rec.put("loc", loc)
+      rec.put("tags", java.util.List.of(s"t${i % 5}", "common"))
+      rec.put("attrs", java.util.Map.of("score", i, "rank", i % 7))
+      w.append(rec)
+    }
+    w.close()
+    val df = spark.read.format("graft-avro")
+      .option("splitBytes", "4096").load(dir.toString)
+    // nested column paths work like any Spark struct
+    val r = df.filter(col("id") === 43)
+      .select(col("loc.lon"), col("loc.name"), col("tags")(0), col("attrs")("rank"))
+      .head()
+    assert(r.getDouble(0) === 4.3 && r.getString(1) === "city43" &&
+      r.getString(2) === "t3" && r.getInt(3) === 43 % 7)
+    // null union branch inside the struct survives
+    assert(df.filter(col("loc.name").isNull).count() ===
+      (0 until 500).count(_ % 3 == 0).toLong)
+    // aggregates over nested + map values across MANY byte-range splits
+    assert(df.agg(sum(col("attrs")("score"))).head().getLong(0) ===
+      (0L until 500L).sum)
+  }
+
   test("session hadoop conf reaches the executor-side reader") {
     // spark.hadoop.* settings must survive into the reader's Configuration
     // (a bare `new Configuration()` would drop credentials/endpoints on a
