@@ -69,6 +69,57 @@ object GeoHashStr {
     ((x0 + x1) / 2, (y0 + y1) / 2)
   }
 
+  /** (lonIdx, latIdx, lonCells, latCells) of a cell in its precision grid. */
+  private def indices(hash: String): (Long, Long, Long, Long) = {
+    val totalBits = 5 * hash.length
+    val lonCells = 1L << ((totalBits + 1) / 2)
+    val latCells = 1L << (totalBits / 2)
+    val (lonLo, latLo, _, _) = decodeBounds(hash)
+    (math.round((lonLo + 180) / (360.0 / lonCells)),
+      math.round((latLo + 90) / (180.0 / latCells)), lonCells, latCells)
+  }
+
+  /** Inverse of [[indices]]: interleave grid indices back to a hash. */
+  private def fromIndices(lonIdx: Long, latIdx: Long, chars: Int): String = {
+    val totalBits = 5 * chars
+    var li = (totalBits + 1) / 2 - 1 // next lon bit (msb first)
+    var ti = totalBits / 2 - 1
+    val sb = new StringBuilder(chars)
+    var cur = 0; var bit = 0; var k = 0
+    while (k < totalBits) {
+      val b = if (k % 2 == 0) { val v = (lonIdx >> li) & 1; li -= 1; v }
+              else { val v = (latIdx >> ti) & 1; ti -= 1; v }
+      cur = (cur << 1) | b.toInt
+      bit += 1
+      if (bit == 5) { sb += Alphabet(cur); cur = 0; bit = 0 }
+      k += 1
+    }
+    sb.toString
+  }
+
+  /**
+   * The geohash cells TOUCHING `hash` at its own precision — the 8-ring
+   * with longitude wrapping at the antimeridian, plus, for a cell on a
+   * polar row, every other cell of that row (they all meet at the pole).
+   * Same contract as the reference's TouchingGeoHashes
+   * (geomesa-core/.../process/knn/TouchingGeoHashes.scala), used there to
+   * spiral kNN searches outward; here it serves geohash-keyed bucket
+   * expansion (the engine's own kNN ring runs on Z2).
+   */
+  def neighbors(hash: String): Seq[String] = {
+    val (lonIdx, latIdx, lonCells, latCells) = indices(hash)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (dj <- -1 to 1; di <- -1 to 1; if di != 0 || dj != 0) {
+      val lj = latIdx + dj
+      if (lj >= 0 && lj < latCells)
+        out += fromIndices(java.lang.Math.floorMod(lonIdx + di, lonCells), lj, hash.length)
+    }
+    if (latIdx == 0 || latIdx == latCells - 1)
+      for (l <- 0L until lonCells if l != lonIdx)
+        out += fromIndices(l, latIdx, hash.length)
+    out.toSeq
+  }
+
   /**
    * Geohash prefix cover of a closed box — at most ~`maxHashes` cells, for
    * bucketing interop with external geohash-keyed systems (the engine's

@@ -156,6 +156,18 @@ class GeoHashParitySpec extends AnyFunSuite {
     })
   }
 
+  test("touching cells match TouchingGeoHashesTest (interior, antimeridian, polar)") {
+    // Charlottesville, 30 bits / 6 chars — plain interior 8-ring (:50-62)
+    assert(GeoHashStr.neighbors(GeoHashStr.encode(-78.4953560, 38.0752150, 6)).toSet ===
+      Set("dqb0te", "dqb0tf", "dqb0td", "dqb0tu", "dqb0ts", "dqb0w5", "dqb0w4", "dqb0wh"))
+    // Suva, Fiji, 10 bits / 2 chars — the ring wraps the antimeridian (:64-76)
+    assert(GeoHashStr.neighbors(GeoHashStr.encode(178.440, -18.140, 2)).toSet ===
+      Set("rv", "rg", "re", "rs", "rt", "2j", "2h", "25"))
+    // McMurdo Station, 5 bits / 1 char — the whole south-polar row touches (:78-92)
+    assert(GeoHashStr.neighbors(GeoHashStr.encode(166.68360, -77.842, 1)).toSet ===
+      Set("h", "j", "n", "0", "1", "4", "5", "2", "r", "q"))
+  }
+
   test("world-edge points land in the reference's corner cells (GeoHashTest:259-282)") {
     assert(GeoHashStr.encode(180.0, 0.5, 1) === "x")
     assert(GeoHashStr.encode(180.0, 90.0, 1) === "z")
