@@ -168,6 +168,54 @@ class GeoHashParitySpec extends AnyFunSuite {
       Set("h", "j", "n", "0", "1", "4", "5", "2", "r", "q"))
   }
 
+  test("neighbors property: touching is symmetric and cells really touch (seeded sweep)") {
+    val rng = new scala.util.Random(7)
+    val cells = Seq.fill(60) {
+      val chars = 1 + rng.nextInt(5)
+      GeoHashStr.encode(rng.nextDouble() * 360 - 180,
+        rng.nextDouble() * 180 - 90, chars)
+    } ++ Seq("0", "z", "p", "b", "8h", "pb") // polar/antimeridian corners
+    for (h <- cells; n <- GeoHashStr.neighbors(h)) {
+      assert(n !== h)
+      assert(n.length === h.length)
+      // symmetry: if n touches h then h touches n
+      assert(GeoHashStr.neighbors(n).contains(h), s"asymmetric: $h <-> $n")
+      // geometric contact: closed bounds intersect (allowing lon wrap)
+      val (ax0, ay0, ax1, ay1) = GeoHashStr.decodeBounds(h)
+      val (bx0, by0, bx1, by1) = GeoHashStr.decodeBounds(n)
+      val latTouch = ay0 <= by1 && by0 <= ay1
+      val lonTouch = (ax0 <= bx1 && bx0 <= ax1) ||
+        (ax0 == -180 && bx1 == 180) || (bx0 == -180 && ax1 == 180)
+      val polarTouch = ay0 == -90 && by0 == -90 || ay1 == 90 && by1 == 90
+      assert(latTouch && (lonTouch || polarTouch), s"no contact: $h vs $n")
+    }
+  }
+
+  test("cover property: every sampled point of the box lands in exactly one cover cell") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 40) {
+      val x0 = rng.nextDouble() * 350 - 180
+      val y0 = rng.nextDouble() * 170 - 90
+      val x1 = math.min(180, x0 + rng.nextDouble() * 20)
+      val y1 = math.min(90, y0 + rng.nextDouble() * 20)
+      val cover = GeoHashStr.cover(x0, y0, x1, y1)
+      assert(cover.nonEmpty)
+      // cells are at one precision and distinct
+      assert(cover.distinct.size === cover.size)
+      assert(cover.map(_.length).distinct.size === 1)
+      for (_ <- 1 to 25) {
+        val px = x0 + rng.nextDouble() * (x1 - x0)
+        val py = y0 + rng.nextDouble() * (y1 - y0)
+        // strictly-interior membership: exactly one cell owns the point
+        val owners = cover.count { h =>
+          val (cx0, cy0, cx1, cy1) = GeoHashStr.decodeBounds(h)
+          cx0 <= px && px < cx1 && cy0 <= py && py < cy1
+        }
+        assert(owners === 1, s"point ($px,$py) owned by $owners cells of box ($x0,$y0,$x1,$y1)")
+      }
+    }
+  }
+
   test("world-edge points land in the reference's corner cells (GeoHashTest:259-282)") {
     assert(GeoHashStr.encode(180.0, 0.5, 1) === "x")
     assert(GeoHashStr.encode(180.0, 90.0, 1) === "z")
