@@ -69,14 +69,25 @@ object GeoHashStr {
     ((x0 + x1) / 2, (y0 + y1) / 2)
   }
 
-  /** (lonIdx, latIdx, lonCells, latCells) of a cell in its precision grid. */
+  /** (lonIdx, latIdx, lonCells, latCells) of a cell in its precision grid,
+    * by de-interleaving the hash's bits (the exact inverse of
+    * [[fromIndices]] — no floating-point walk involved). */
   private def indices(hash: String): (Long, Long, Long, Long) = {
     val totalBits = 5 * hash.length
-    val lonCells = 1L << ((totalBits + 1) / 2)
-    val latCells = 1L << (totalBits / 2)
-    val (lonLo, latLo, _, _) = decodeBounds(hash)
-    (math.round((lonLo + 180) / (360.0 / lonCells)),
-      math.round((latLo + 90) / (180.0 / latCells)), lonCells, latCells)
+    var lonIdx = 0L; var latIdx = 0L
+    var k = 0
+    hash.foreach { c =>
+      val v = AlphabetIdx.getOrElse(c,
+        throw new IllegalArgumentException(s"bad geohash char: $c"))
+      var i = 4
+      while (i >= 0) {
+        val b = (v >> i) & 1
+        if (k % 2 == 0) lonIdx = (lonIdx << 1) | b else latIdx = (latIdx << 1) | b
+        k += 1
+        i -= 1
+      }
+    }
+    (lonIdx, latIdx, 1L << ((totalBits + 1) / 2), 1L << (totalBits / 2))
   }
 
   /** Inverse of [[indices]]: interleave grid indices back to a hash. */
@@ -130,16 +141,28 @@ object GeoHashStr {
    * cells whose CLOSED bounds intersect the box, recurse while under
    * `maxHashes` cells and `maxChars` characters, and back off one level if
    * the next level overshoots. The result can exceed `maxHashes` only when
-   * the very first expansion already does (as the reference's can).
+   * the very first expansion already does (as the reference's can). Two
+   * deliberate deviations from the reference: the corner encode is NOT
+   * shifted 1e-12 inward (that shift loses a box corner lying within
+   * 1e-12 past a cell boundary), and a box inside a single `maxChars`
+   * cell answers that one cell instead of subdividing past `maxChars`.
    */
   def cover(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
             maxHashes: Int = 32, maxChars: Int = 8): Seq[String] = {
     require(lonMin <= lonMax && latMin <= latMax, "box min must be <= max")
-    val eps = 1e-12 // reference: ur shifted one ulp-ish inward (:211)
+    // Prefix from the UNSHIFTED corners: the reference shifts ur inward by
+    // 1e-12 (:211), which loses the box's own corner when it lies within
+    // 1e-12 past a cell boundary; encoding ur as-is keeps the prefix a
+    // true ancestor of the whole closed box (a ur exactly ON a boundary
+    // merely shortens the prefix — the touching cell is a correct member).
     val llHash = encode(lonMin, latMin, maxChars)
-    val urHash = encode(lonMax - eps, latMax - eps, maxChars)
+    val urHash = encode(lonMax, latMax, maxChars)
     val prefix = llHash.zip(urHash).takeWhile { case (a, b) => a == b }
       .map(_._1).mkString
+    // a box inside a single maxChars cell IS that cell — the reference
+    // would subdivide once more and answer at maxChars+1 characters, which
+    // breaks bucketing interop with maxChars-keyed consumers
+    if (prefix.length >= maxChars) return Seq(prefix)
     def intersects(h: String): Boolean = {
       val (x0, y0, x1, y1) = decodeBounds(h)
       x0 <= lonMax && lonMin <= x1 && y0 <= latMax && latMin <= y1

@@ -20,12 +20,23 @@ object IngestExport {
     * Malformed rows are DROPPED, as the reference converter does
     * (DelimitedTextConverter skips records whose transforms fail —
     * DelimitedTextConverterTest:68 expects 2 of 3 rows) — at web-corpus
-    * scale a bad line must not poison the frame with nulls. */
+    * scale a bad line must not poison the frame with nulls. The drop is
+    * an explicit null-filter on the GEOMETRY inputs (PERMISSIVE parse,
+    * then `lon IS NOT NULL AND lat IS NOT NULL`) — the one formulation
+    * whose row set is STABLE under Spark's CSV column pruning. Both
+    * mode=DROPMALFORMED and a corrupt-record-column filter judge
+    * malformedness against the columns a downstream query happens to
+    * select, so count() and a projected read can disagree on the row set
+    * (and a bare count over only the corrupt column is outright
+    * disallowed). The lon/lat filter always sits in the plan, so those
+    * columns always parse and every consumer sees one row set; it is
+    * also the converter's semantic — a record whose point() transform
+    * cannot evaluate is skipped. */
   def csv(spark: SparkSession, path: String, schema: StructType,
           lonCol: String, latCol: String, delimiter: String = ","): DataFrame =
     spark.read.option("delimiter", delimiter).option("header", "true")
-      .option("mode", "DROPMALFORMED")
       .schema(schema).csv(path)
+      .filter(col(lonCol).isNotNull && col(latCol).isNotNull)
       .withColumn("geom", st.point(col(lonCol), col(latCol)))
 
   /**

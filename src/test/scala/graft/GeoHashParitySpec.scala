@@ -143,6 +143,19 @@ class GeoHashParitySpec extends AnyFunSuite {
     assert(GeoHashStr.cover(-78, 38, -77.89503, 38.0458335).size === 6)
     assert(GeoHashStr.cover(-50, -40, 50, 40).size === 8)
     assert(GeoHashStr.cover(1, 1, 1, 1).size === 1)
+    // deviation guard: a box strictly inside ONE maxChars cell answers that
+    // cell (the reference subdivides once more and returns 9-char keys)
+    val (cx0, cy0, cx1, cy1) = GeoHashStr.decodeBounds("dqb81jdn")
+    val tiny = GeoHashStr.cover(cx0 + (cx1 - cx0) / 4, cy0 + (cy1 - cy0) / 4,
+      cx1 - (cx1 - cx0) / 4, cy1 - (cy1 - cy0) / 4)
+    assert(tiny === Seq("dqb81jdn"))
+    // deviation guard: a box corner just past a cell boundary (within the
+    // reference's 1e-12 inward shift) is still covered
+    val nearEdge = GeoHashStr.cover(44.9, 10, 45 + 4e-13, 11)
+    assert(nearEdge.exists { h =>
+      val (x0, _, x1, _) = GeoHashStr.decodeBounds(h)
+      x0 <= 45 + 4e-13 && 45 + 4e-13 <= x1
+    })
     // soundness, not just counts: the cells tile the box (every cover cell
     // intersects it, and the box's corners land inside some cell)
     val cover = GeoHashStr.cover(-78, 38, -77.895029, 38.045834)
