@@ -63,6 +63,10 @@ class GeoHashParitySpec extends AnyFunSuite {
       ((-78.00018310546875, 37.99999237060547, -77.99983978271484, 38.00016403198242)))
   }
 
+  test("CCRi encodes to dqb0tg3k at 40 bits (GeohashUtilsTest:37)") {
+    assert(GeoHashStr.encode(-78.4953560, 38.0752150, 8) === "dqb0tg3k")
+  }
+
   test("-78, 38 at sub-character precisions matches on the common prefix (GeoHashTest:71-80,93-102)") {
     // 27-bit fixture "dqb81h": 25 shared bits → 5 shared characters
     assert("dqb81h".startsWith(GeoHashStr.encode(-78, 38, 5)))
