@@ -98,7 +98,16 @@ private[sources] object AvroSchemaMap {
       org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         entries.map { case (k, _) => UTF8String.fromString(k.toString): Any },
         entries.map { case (_, v) => toCatalyst(v.asInstanceOf[AnyRef], vt) })
-    case (x, _) => x // int/long/float/double/boolean box through unchanged
+    // numeric bridging for schema drift ACROSS files: the Spark type comes
+    // from the first file, but each file decodes in its own writer types
+    // (the projected reader schema is built per file, no cross-file
+    // resolution) — a later file writing int where the first wrote long
+    // must widen, not ClassCastException at row access
+    case (x: java.lang.Number, LongType) => x.longValue()
+    case (x: java.lang.Number, IntegerType) => x.intValue()
+    case (x: java.lang.Number, DoubleType) => x.doubleValue()
+    case (x: java.lang.Number, FloatType) => x.floatValue()
+    case (x, _) => x // boolean boxes through unchanged
   }
 }
 
@@ -200,7 +209,9 @@ private[sources] object AvroSplitSource {
           val n = f.getPath.getName
           f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
         }
-    }
+    }.sortBy(_.getPath.toString) // listStatus order is fs-dependent; sorted
+                                 // paths make schema inference (first file
+                                 // wins) deterministic across runs
 
   /** Embedded writer schema of the first data file (container files carry
     * their schema in the header). */

@@ -182,6 +182,39 @@ class AvroSplitSourceSpec extends SparkSpec {
       (0L until 500L).sum)
   }
 
+  test("schema drift across files: missing fields null, narrower numerics widen") {
+    // web-corpus containers drift: a later producer may drop a field or
+    // write int where an earlier file wrote long; the inferred schema
+    // comes from the FIRST file and every file must still decode
+    val s1: Schema = SchemaBuilder.record("page").fields()
+      .requiredLong("id").requiredString("name").optionalString("lang")
+      .endRecord()
+    val s2: Schema = SchemaBuilder.record("page").fields()
+      .requiredInt("id").requiredString("name") // id narrowed, lang gone
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_drift")
+    def write(name: String, schema: Schema, ids: Range, withLang: Boolean): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dir.resolve(name).toFile)
+      ids.foreach { i =>
+        val rec = new GenericData.Record(schema)
+        if (withLang) { rec.put("id", i.toLong); rec.put("lang", s"l$i") }
+        else rec.put("id", i) // int branch
+        rec.put("name", s"n$i")
+        w.append(rec)
+      }
+      w.close()
+    }
+    write("a-first.avro", s1, 0 until 50, withLang = true)
+    write("b-second.avro", s2, 50 until 100, withLang = false)
+    val df = spark.read.format("graft-avro").load(dir.toString)
+    assert(df.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    // both files' rows decode: ints widened to long, missing lang null
+    assert(df.agg(sum("id")).head().getLong(0) === (0L until 100L).sum)
+    assert(df.filter(col("lang").isNull).count() === 50L)
+    assert(df.filter(col("id") === 75L).head().getString(1) === "n75")
+  }
+
   test("session hadoop conf reaches the executor-side reader") {
     // spark.hadoop.* settings must survive into the reader's Configuration
     // (a bare `new Configuration()` would drop credentials/endpoints on a
