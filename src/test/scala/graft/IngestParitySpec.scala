@@ -61,6 +61,23 @@ class IngestParitySpec extends SparkSpec {
     assert(res.map(_.getString(0)).toSeq === Seq("1hello", "2world"))
   }
 
+  test("DMS coordinate columns ingest to points (CSVParserTest:66-75)") {
+    // the reference's PointParser parses "38:04:31.17N -78:29:42.32E" to
+    // (-78.495089, 38.075325) ± 1e-6; here the same composes from the
+    // delimited reader + the dms_to_deg expression
+    val path = writeLines(Seq(
+      "fid,lat_dms,lon_dms",
+      "fid-1,38:04:31.17N,-78:29:42.32E"), ".csv")
+    val schema = StructType(Seq(
+      StructField("fid", StringType), StructField("lat_dms", StringType),
+      StructField("lon_dms", StringType)))
+    val r = spark.read.option("header", "true").schema(schema).csv(path)
+      .selectExpr("fid", "dms_to_deg(lon_dms) AS lon", "dms_to_deg(lat_dms) AS lat")
+      .head()
+    assert(math.abs(r.getDouble(1) - -78.495089) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 38.075325) < 1e-6)
+  }
+
   test("fixed width: offset/width slicing to points (FixedWidthConverterTest:30-58)") {
     // "14555" -> lat = chars 2-3 = 45, lon = chars 4-5 = 55 -> POINT(55 45)
     val path = writeLines(Seq("14555", "16565"), ".txt")
