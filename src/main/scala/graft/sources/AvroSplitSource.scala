@@ -98,15 +98,28 @@ private[sources] object AvroSchemaMap {
       org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         entries.map { case (k, _) => UTF8String.fromString(k.toString): Any },
         entries.map { case (_, v) => toCatalyst(v.asInstanceOf[AnyRef], vt) })
-    // numeric bridging for schema drift ACROSS files: the Spark type comes
-    // from the first file, but each file decodes in its own writer types
-    // (the projected reader schema is built per file, no cross-file
-    // resolution) — a later file writing int where the first wrote long
-    // must widen, not ClassCastException at row access
-    case (x: java.lang.Number, LongType) => x.longValue()
-    case (x: java.lang.Number, IntegerType) => x.intValue()
-    case (x: java.lang.Number, DoubleType) => x.doubleValue()
-    case (x: java.lang.Number, FloatType) => x.floatValue()
+    // exact-match numerics box straight through (the common case pays no
+    // conversion or re-allocation on the ingest kernel)
+    case (x: java.lang.Long, LongType) => x
+    case (x: java.lang.Integer, IntegerType) => x
+    case (x: java.lang.Double, DoubleType) => x
+    case (x: java.lang.Float, FloatType) => x
+    // WIDENING bridges for schema drift ACROSS files: the Spark type comes
+    // from the (lexicographically) first file, but each file decodes in
+    // its own writer types — a later file writing int where the first
+    // wrote long must widen, not ClassCastException at row access. Only
+    // Avro's own promotion directions (int→long→float→double) coerce;
+    // a NARROWING mismatch (long value, int column) raises a clear error
+    // rather than silently truncating (x.intValue() on 2^32 is 0).
+    case (x: java.lang.Integer, LongType) => x.longValue()
+    case (x: java.lang.Integer, DoubleType) => x.doubleValue()
+    case (x: java.lang.Long, DoubleType) => x.doubleValue()
+    case (x: java.lang.Float, DoubleType) => x.doubleValue()
+    case (x: java.lang.Integer, FloatType) => x.floatValue()
+    case (x: java.lang.Long, FloatType) => x.floatValue()
+    case (x: java.lang.Number, dt) => throw new IllegalStateException(
+      s"graft-avro: schema drift narrows ${x.getClass.getSimpleName} to $dt; " +
+        "re-read with an explicit wider schema (spark.read.schema(...))")
     case (x, _) => x // boolean boxes through unchanged
   }
 }

@@ -213,6 +213,23 @@ class AvroSplitSourceSpec extends SparkSpec {
     assert(df.agg(sum("id")).head().getLong(0) === (0L until 100L).sum)
     assert(df.filter(col("lang").isNull).count() === 50L)
     assert(df.filter(col("id") === 75L).head().getString(1) === "n75")
+    // NARROWING drift (first file int, later file long) must raise the
+    // actionable error, not silently truncate (2^32.longValue.intValue==0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_avro_narrow")
+    def writeAt(d: java.nio.file.Path, name: String, schema: Schema, put: GenericData.Record => Unit): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, d.resolve(name).toFile)
+      val rec = new GenericData.Record(schema); put(rec); w.append(rec); w.close()
+    }
+    val intS: Schema = SchemaBuilder.record("page").fields().requiredInt("id").endRecord()
+    val longS: Schema = SchemaBuilder.record("page").fields().requiredLong("id").endRecord()
+    writeAt(dir2, "a.avro", intS, _.put("id", 1))
+    writeAt(dir2, "b.avro", longS, _.put("id", 1L << 33))
+    val err = intercept[Exception](
+      spark.read.format("graft-avro").load(dir2.toString).agg(sum("id")).head())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("schema drift narrows")))
   }
 
   test("session hadoop conf reaches the executor-side reader") {
